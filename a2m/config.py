@@ -1,0 +1,185 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters hyperparameters as module-level constants in each
+entry script (`version5_model_train.py:184-205`,
+`generate_motion_video.py:220-232`) plus an argparse grid helper
+(`pats/argsUtils.py:7-52`).  Here every subsystem is configured by one
+dataclass tree with CLI overrides (see :func:`apply_overrides`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Audio frontend selection; specs live in :mod:`a2m.constants`."""
+    method: str = 'log_mel_512'     # 'log_mel_512' | 'log_mel_400' | 'vggish'
+    use_pallas: bool = True         # fused Pallas mel kernel on TPU
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    path2data: str = './pats/data'
+    speakers: tuple[str, ...] = ('oliver', 'noah', 'seth', 'shelly',
+                                 'ellen', 'angelica', 'almaram', 'chemistry')
+    modalities: tuple[str, ...] = ('pose/data', 'audio/log_mel_512')
+    fs_new: tuple[int, ...] = (15, 15)
+    batch_size: int = 128
+    window_hop: int = 5
+    window_seconds: float = 4.3
+    shuffle: bool = True
+    seed: int = 0
+    # truncate each split to N intervals for quick runs (reference
+    # dataUtils.py:231-237 `load_data=False` -> 5 intervals)
+    max_intervals_per_split: int | None = None
+    style_iters: int = 0            # fixed-iteration alternating-style sampler
+    num_training_sample: int | None = None  # few-shot subsample per speaker
+    quantile_sample: float | None = None    # rebalance by length/velocity
+    quantile_num_training_sample: int | None = None
+    weighted: int = 0               # weighted sampler draws per epoch
+    repeat_text: int = 1
+    filler: int = 0
+
+
+@dataclass(frozen=True)
+class GeneratorConfig:
+    time_steps: int = 64
+    in_channels: int = 256
+    out_channels: int = 256
+    out_feats: int = 104
+    body_feats: int = 20
+    num_body_joints: int = 10
+    num_hand_joints: int = 42
+    joint_feat_dim: int = 64
+    dropout: float = 0.2
+    gat_heads: int = 4
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    in_channels: int = 104
+    out_channels: int = 64
+    n_downsampling: int = 2
+    dropout: float = 0.3
+    groups: int = 1
+    aux_classes: int = 10
+    out_shape: int = 1
+    joint_feat_dim: int = 64
+    gat_heads: int = 4
+
+
+@dataclass(frozen=True)
+class ControllerConfig:
+    """DynamicGANTraining parameters (reference version5_model_train.py:12-180)."""
+    g_lr: float = 5e-4
+    d_lr: float = 1e-3
+    d_strong_threshold: float = 0.20
+    g_weak_threshold: float = 0.80
+    g_strong_threshold: float = 0.10
+    init_d_freq: int = 1
+    init_g_freq: int = 3
+    min_d_freq: int = 1
+    max_d_freq: int = 2
+    min_g_freq: int = 2
+    max_g_freq: int = 6
+    real_label_smooth: float = 0.98
+    fake_label_smooth: float = 0.02
+    dynamic_smooth: bool = False
+    history_cap: int = 100
+    window: int = 10
+    # label noise annealing
+    max_noise_std: float = 0.01
+    min_noise_std: float = 0.002
+    anneal_start_epoch: int = 0
+    anneal_end_epoch: int = 60
+    max_smooth_offset: float = 0.05
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    n_epochs: int = 500
+    lambda_d: float = 1.0
+    lambda_gan: float = 1.0
+    lambda_smooth: float = 0.1
+    lambda_jerk: float = 0.05
+    save_dir: str = './save/multi_speaker'
+    save_every_epochs: int = 1
+    log_every_batches: int = 200
+    resume: bool = True             # resume from latest checkpoint if present
+    controller: ControllerConfig = field(default_factory=ControllerConfig)
+    # precision policy: 'f32' or 'bf16' (matmul/conv compute dtype)
+    compute_dtype: str = 'bf16'
+    donate_buffers: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for GSPMD sharding.  axis sizes of -1 mean "all devices"."""
+    data: int = -1                  # batch (data-parallel) axis
+    model: int = 1                  # optional channel-dim (tensor) axis
+    axis_names: tuple[str, str] = ('data', 'model')
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    generator: GeneratorConfig = field(default_factory=GeneratorConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def _set_nested(cfg: Any, dotted: str, value: str) -> Any:
+    head, _, rest = dotted.partition('.')
+    if not hasattr(cfg, head):
+        raise KeyError(f'unknown config field {head!r} on {type(cfg).__name__}')
+    if rest:
+        sub = _set_nested(getattr(cfg, head), rest, value)
+        return dataclasses.replace(cfg, **{head: sub})
+    cur = getattr(cfg, head)
+    if isinstance(cur, bool):
+        parsed: Any = value.lower() in ('1', 'true', 'yes')
+    elif isinstance(cur, int):
+        parsed = int(value)
+    elif isinstance(cur, float):
+        parsed = float(value)
+    elif isinstance(cur, tuple):
+        elem = type(cur[0]) if cur else str
+        parsed = tuple(elem(v) for v in value.split(','))
+    elif cur is None:
+        parsed = value if not value.replace('.', '', 1).isdigit() else (
+            float(value) if '.' in value else int(value))
+    else:
+        parsed = value
+    return dataclasses.replace(cfg, **{head: parsed})
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``key.path=value`` CLI overrides (one config source of truth).
+
+    Example: ``apply_overrides(cfg, ["data.batch_size=4", "train.n_epochs=1"])``
+    """
+    for item in overrides:
+        key, _, value = item.partition('=')
+        cfg = _set_nested(cfg, key.strip(), value.strip())
+    return cfg
+
+
+def config_grid(base: Config, grid: dict[str, Sequence[str]]) -> list[Config]:
+    """Cartesian product of per-key value lists -> list of configs.
+
+    TPU-native equivalent of the reference's argparse grid-search helper
+    (`pats/argsUtils.py:7-42`).
+    """
+    import itertools
+    keys = list(grid.keys())
+    configs = []
+    for values in itertools.product(*(grid[k] for k in keys)):
+        configs.append(apply_overrides(
+            base, [f'{k}={v}' for k, v in zip(keys, values)]))
+    return configs

@@ -1,0 +1,210 @@
+"""Golden-value tests for the audio frontends.
+
+Strategy per SURVEY.md §4: the float64 NumPy implementations in
+:mod:`a2m.audio.mel_np` are the golden reference (reimplementing
+`pats/data_loading/audio.py:58-120` and `pose_video/mel_features.py:21-223`);
+the JAX XLA and Pallas paths must match within 1e-5 (BASELINE.json target).
+"""
+
+import numpy as np
+import pytest
+
+from a2m import constants
+from a2m.audio import frontend, mel_np, pallas_mel
+
+SR = 45600
+PARITY_TOL = 1e-5
+
+
+@pytest.fixture(scope='module')
+def clip():
+    rng = np.random.default_rng(42)
+    return (rng.standard_normal(int(SR * 4.3)) * 0.1).astype(np.float64)
+
+
+@pytest.fixture(scope='module')
+def clip16(clip):
+    return mel_np.resample_poly(clip, SR, 16000)
+
+
+# ---------------------------------------------------------------------------
+# NumPy golden self-consistency
+# ---------------------------------------------------------------------------
+
+def test_periodic_hann_endpoints():
+    w = mel_np.periodic_hann(400)
+    assert w[0] == 0.0
+    assert w[200] == pytest.approx(1.0)
+    # periodic: w[k] == w[N-k] for k>0, and w does NOT end at 0 symmetric-style
+    assert w[1] == pytest.approx(w[399])
+
+
+def test_frame_counts():
+    x = np.arange(1000.0)
+    f = mel_np.frame(x, 400, 160)
+    assert f.shape == (1 + (1000 - 400) // 160, 400)
+    np.testing.assert_array_equal(f[1], x[160:560])
+
+
+def test_htk_mel_matrix_properties():
+    m = mel_np.mel_matrix_htk(64, 257, 16000, 125.0, 7500.0)
+    assert m.shape == (257, 64)
+    assert m[0].sum() == 0.0          # DC bin excluded
+    assert (m >= 0).all()
+    # every mel band has some support
+    assert (m.sum(axis=0) > 0).all()
+
+
+def test_slaney_mel_matrix_properties():
+    m = mel_np.mel_matrix_slaney(128, 2048, SR)
+    assert m.shape == (128, 1025)
+    assert (m >= 0).all()
+    assert (m.sum(axis=1) > 0).all()
+    # slaney normalization: filters integrate to ~2/bandwidth; peak < 1
+    assert m.max() < 1.0
+    # unnormalized variant peaks at ~1
+    m2 = mel_np.mel_matrix_slaney(64, 512, 16000, fmin=125., fmax=7500.,
+                                  norm=None)
+    assert 0.5 < m2.max() <= 1.0
+
+
+def test_golden_shapes(clip, clip16):
+    g512 = mel_np.log_mel_512(clip, SR)
+    assert g512.shape[1] == constants.MEL_FEATS_512
+    # centered STFT: 1 + N // hop frames
+    assert g512.shape[0] == 1 + len(clip) // 512
+    g400 = mel_np.log_mel_400(clip, SR)
+    assert g400.shape[1] == constants.MEL_FEATS_400
+    gv = mel_np.vggish_log_mel(clip16)
+    assert gv.shape[1] == 64
+
+
+def test_window_arithmetic_matches_reference():
+    # dataUtils.py:585-620 arithmetic: 4.3 s of log_mel_512 at fs=89 resampled
+    # to fs_new=15 by stride-6 slicing yields 64 rows == FRAMES_PER_WINDOW
+    fs = constants.AUDIO_FS_MAP['log_mel_512']
+    assert fs == 89
+    window = int(4.3 * fs)
+    ratio = round(fs / 15)
+    assert window == 382 and ratio == 6
+    assert len(range(0, window, ratio)) == constants.FRAMES_PER_WINDOW
+
+
+# ---------------------------------------------------------------------------
+# JAX XLA parity vs golden
+# ---------------------------------------------------------------------------
+
+def test_log_mel_512_parity(clip):
+    g = mel_np.log_mel_512(clip, SR)
+    j = np.asarray(frontend.log_mel_512(clip.astype(np.float32), SR))
+    assert j.shape == g.shape
+    assert np.abs(g - j).max() < PARITY_TOL
+
+
+def test_log_mel_400_parity(clip, clip16):
+    g = mel_np.log_mel_400(clip, SR)
+    j = np.asarray(frontend.log_mel_400(clip16.astype(np.float32)))
+    n = min(len(g), len(j))
+    assert abs(len(g) - len(j)) <= 1
+    assert np.abs(g[:n] - j[:n]).max() < PARITY_TOL
+
+
+def test_vggish_parity(clip16):
+    g = mel_np.vggish_log_mel(clip16)
+    j = np.asarray(frontend.vggish_log_mel(clip16.astype(np.float32)))
+    n = min(len(g), len(j))
+    assert np.abs(g[:n] - j[:n]).max() < PARITY_TOL
+
+
+def test_batched_matches_single(clip16):
+    y = np.stack([clip16, clip16 * 0.5]).astype(np.float32)
+    b = np.asarray(frontend.vggish_log_mel(y))
+    s0 = np.asarray(frontend.vggish_log_mel(y[0]))
+    np.testing.assert_allclose(b[0], s0, atol=1e-6)
+
+
+def test_tonal_parity_within_dynamic_range(clip):
+    # Pure tones have spectral nulls below the f32 noise floor where no f32
+    # pipeline can match a float64 log; parity is asserted for bins within
+    # ~120 dB of the clip's mel peak (the f32-meaningful domain).
+    t = np.linspace(0, 4.3, int(SR * 4.3))
+    y = 0.3 * np.sin(2 * np.pi * 220 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    g = mel_np.log_mel_512(y, SR)
+    j = np.asarray(frontend.log_mel_512(y.astype(np.float32), SR))
+    mel_g = np.exp(g)
+    mask = mel_g > 1e-6 * mel_g.max()
+    assert np.abs(g - j)[mask].max() < 5e-5
+
+
+def test_fast_mode_close(clip):
+    g = mel_np.log_mel_512(clip, SR)
+    j = np.asarray(frontend.log_mel_512(clip.astype(np.float32), SR,
+                                        exact=False))
+    # fast mode trades ~1e-4 accuracy for throughput
+    assert np.abs(g - j).max() < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel parity (interpret mode on CPU; compiled on TPU)
+# ---------------------------------------------------------------------------
+
+def test_pallas_512_matches_xla(clip):
+    y = clip.astype(np.float32)[None]
+    x = np.asarray(frontend.log_mel_512(y, SR, exact=False))
+    p = np.asarray(pallas_mel.pallas_log_mel_512(y, SR))
+    assert p.shape == x.shape
+    assert np.abs(p - x).max() < 1e-4
+
+
+def test_pallas_vggish_exact_parity(clip16):
+    y = clip16.astype(np.float32)[None]
+    g = mel_np.vggish_log_mel(clip16)
+    p = np.asarray(pallas_mel.pallas_vggish_log_mel(y, exact=True))[0]
+    n = min(len(g), len(p))
+    assert np.abs(g[:n] - p[:n]).max() < PARITY_TOL
+
+
+def test_pallas_log_mel_400_exact_parity(clip, clip16):
+    g = mel_np.log_mel_400(clip, SR)
+    p = np.asarray(pallas_mel.pallas_log_mel_400(
+        clip16.astype(np.float32)[None], exact=True))[0]
+    n = min(len(g), len(p))
+    assert np.abs(g[:n] - p[:n]).max() < PARITY_TOL
+
+
+def test_pallas_rejects_exact_large_fft(clip):
+    with pytest.raises(ValueError):
+        pallas_mel.pallas_log_mel(clip.astype(np.float32)[None],
+                                  frontend.spec_log_mel_512(SR), exact=True)
+
+
+# ---------------------------------------------------------------------------
+# precise ops
+# ---------------------------------------------------------------------------
+
+def test_precise_log():
+    import jax
+    from a2m.ops.precise import precise_log
+    x = np.exp(np.linspace(-25, 10, 10000)).astype(np.float32)
+    out = np.asarray(jax.jit(precise_log)(x))
+    assert np.abs(out - np.log(x.astype(np.float64))).max() < 5e-6
+
+
+def test_precise_sqrt():
+    import jax
+    from a2m.ops.precise import precise_sqrt
+    x = np.exp(np.linspace(-20, 20, 10000)).astype(np.float32)
+    out = np.asarray(jax.jit(precise_sqrt)(x))
+    rel = np.abs(out - np.sqrt(x.astype(np.float64))) / np.sqrt(x)
+    assert rel.max() < 1e-6
+
+
+def test_silence_mask_shape(clip16):
+    m = np.asarray(frontend.silence_mask(clip16.astype(np.float32)))
+    # reference format: (n_windows - 1 per arange) * 2 entries
+    # (audio.py:138-171): ceil(N / (16000/15)) - 1 windows, 2 entries each
+    n_win = int(np.ceil(len(clip16) / (16000 / 15))) - 1
+    assert m.shape[-1] == 2 * n_win
+    assert set(np.unique(m)).issubset({0, 1})
+    # interleaved zeros at odd positions
+    assert (m[1::2] == 0).all()
