@@ -1,0 +1,26 @@
+from a2m.data import hdf5_io, normalization, synthetic, windowing
+from a2m.data.dataset import (AlternateClassSampler, BalanceClassSampler,
+                              Batcher, ConcatIntervals, DataLoader,
+                              Data_Loader, IntervalData, RandomSampler,
+                              SequentialSampler, SubsetRandomSampler,
+                              WeightedRandomSampler)
+from a2m.data.modalities import (MOD_MAP, SPEAKERS, Audio, Modality,
+                                 Skeleton2D, Text, load_modality_classes,
+                                 pad_ragged, read_master_csv)
+from a2m.data.normalization import (denormalize_pose, get_mean_std,
+                                    get_mean_std_necksub, neck_subtract,
+                                    normalize_pose)
+from a2m.data.synthetic import make_synthetic_pats
+from a2m.data.windowing import WindowIndex, window_index
+
+__all__ = [
+    'hdf5_io', 'normalization', 'synthetic', 'windowing',
+    'AlternateClassSampler', 'BalanceClassSampler', 'Batcher',
+    'ConcatIntervals', 'DataLoader', 'Data_Loader', 'IntervalData',
+    'RandomSampler', 'SequentialSampler', 'SubsetRandomSampler',
+    'WeightedRandomSampler', 'MOD_MAP', 'SPEAKERS', 'Audio', 'Modality',
+    'Skeleton2D', 'Text', 'load_modality_classes', 'pad_ragged',
+    'read_master_csv', 'denormalize_pose', 'get_mean_std',
+    'get_mean_std_necksub', 'neck_subtract', 'normalize_pose',
+    'make_synthetic_pats', 'WindowIndex', 'window_index',
+]

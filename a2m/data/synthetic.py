@@ -1,0 +1,99 @@
+"""Synthetic PATS fixture generator.
+
+Creates a miniature on-disk PATS tree with the exact schema the loader
+expects (reference h5_loader.py:119-195): the hermetic test substrate the
+reference never had (SURVEY.md §4).  Pose data is generated as smooth,
+bone-length-consistent joint trajectories in the canonical block layout so
+normalization / bone-loss math has realistic structure.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from a2m import constants
+from a2m.data import hdf5_io
+
+
+def _rest_pose() -> np.ndarray:
+    """A plausible (2, 52) rest pose built by walking the skeleton tree."""
+    pos = np.zeros((52, 2))
+    for j in range(1, 52):
+        p = constants.PARENTS[j]
+        # deterministic limb offsets with golden-angle spread; hands smaller
+        scale = 12.0 if j < 10 else 4.0
+        ang = (j * 2.399) % (2 * np.pi)
+        pos[j] = pos[p] + scale * np.array([np.cos(ang), np.sin(ang)])
+    return pos.T + np.array([[640.0], [360.0]])  # (2, 52) centered on screen
+
+
+def synth_pose(n_frames: int, rng: np.random.Generator) -> np.ndarray:
+    """(T, 104) float64 block-layout pose with smooth sinusoidal motion."""
+    rest = _rest_pose()                       # (2, 52)
+    t = np.arange(n_frames)[:, None, None] / constants.POSE_FPS
+    freq = rng.uniform(0.2, 1.5, (1, 2, 52))
+    phase = rng.uniform(0, 2 * np.pi, (1, 2, 52))
+    amp = rng.uniform(2.0, 18.0, (1, 2, 52))
+    motion = amp * np.sin(2 * np.pi * freq * t + phase)   # (T, 2, 52)
+    pose = rest[None] + motion
+    return pose.reshape(n_frames, 104)
+
+
+def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
+                   with_text: bool = False) -> None:
+    """Write one interval .h5 with pose/audio(/text) datasets."""
+    n_pose = int(duration_s * constants.POSE_FPS)
+    pose = synth_pose(n_pose, rng)
+    fs512 = constants.AUDIO_FS_MAP['log_mel_512']
+    fs400 = constants.AUDIO_FS_MAP['log_mel_400']
+    mel512 = rng.standard_normal((int(duration_s * fs512) + 1, 128)) - 6.0
+    mel400 = rng.standard_normal((int(duration_s * fs400) + 1, 64)) - 6.0
+    silence = rng.integers(0, 2, 2 * (n_pose - 1)).astype(np.int64)
+    silence[1::2] = 0
+
+    with hdf5_io.h5_open(path2h5, 'w') as h5:
+        h5.create_dataset('pose/data', data=pose.astype(np.float64))
+        h5.create_dataset('pose/normalize', data=pose.astype(np.float64))
+        h5.create_dataset('audio/log_mel_512', data=mel512.astype(np.float64))
+        h5.create_dataset('audio/log_mel_400', data=mel400.astype(np.float64))
+        h5.create_dataset('audio/silence', data=silence)
+        if with_text:
+            n_words = max(2, int(duration_s))
+            h5.create_dataset('text/w2v',
+                              data=rng.standard_normal((n_pose, 300)))
+            h5.create_dataset('text/bert',
+                              data=rng.standard_normal((n_pose, 768))
+                              .astype(np.float32))
+            h5.create_dataset('text/tokens',
+                              data=rng.integers(0, 30000, n_pose))
+
+
+def make_synthetic_pats(root, speakers=('oliver', 'noah'),
+                        intervals_per_speaker: int = 4,
+                        duration_s: float = 12.0, seed: int = 0,
+                        with_text: bool = False,
+                        splits=('train', 'train', 'dev', 'test')) -> Path:
+    """Build a synthetic PATS tree under ``root`` and return its path.
+
+    Layout: cmu_intervals_df.csv + processed/<speaker>/<interval>.h5 with the
+    train/dev/test assignment cycling through ``splits``.
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    rows = []
+    iid = 100000
+    for sp in speakers:
+        for k in range(intervals_per_speaker):
+            iid += 1
+            dataset = splits[k % len(splits)]
+            rows.append(dict(interval_id=str(iid), speaker=sp,
+                             dataset=dataset, delta_time=duration_s,
+                             start_time='0:00:00', end_time='0:00:12',
+                             video_link='', video_fn='', yt_id=''))
+            synth_interval(hdf5_io.interval_path(root, sp, str(iid)),
+                           duration_s, rng, with_text=with_text)
+    pd.DataFrame(rows).to_csv(root / 'cmu_intervals_df.csv', index=False)
+    return root
