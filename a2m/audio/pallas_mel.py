@@ -194,14 +194,16 @@ def pallas_log_mel(y: jnp.ndarray, spec: fe.MelSpec, exact: bool = False,
         log_const=spec.log_const, exact=exact, hop=hop,
         frame_len=frame_len, n_k=n_k)
 
-    # interpret mode on non-TPU backends (tests run on a CPU mesh)
+    # interpret mode on non-TPU backends (tests run on a CPU mesh); the
+    # TPU-interpreter context is required — plain interpret=True cannot
+    # evaluate program_id-dependent ref transforms on CPU
     interpret = jax.default_backend() != 'tpu'
 
     flops_dft = 2 * n_frames * frame_len * k_pad * 2 * (2 if exact else 1)
     flops_mel = 2 * n_frames * k_pad * m_pad * (2 if exact else 1)
-    out = pl.pallas_call(
+    call = functools.partial(
+        pl.pallas_call,
         kernel,
-        interpret=interpret,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, FRAME_BLOCK, m_pad),
@@ -219,7 +221,12 @@ def pallas_log_mel(y: jnp.ndarray, spec: fe.MelSpec, exact: bool = False,
                                 + n_frames * m_pad * 4),
             transcendentals=B * n_frames * m_pad,
         ),
-    )(*args)
+    )
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            out = call()(*args)
+    else:
+        out = call()(*args)
     return out[:, :n_frames, :spec.n_mels]
 
 

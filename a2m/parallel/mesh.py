@@ -1,0 +1,157 @@
+"""Device mesh + GSPMD shardings.
+
+The reference is strictly single-GPU (`version5_model_train.py:256-282`; no
+torch.distributed anywhere — SURVEY.md §2.5).  This module supplies the
+TPU-native scaling story:
+
+* a ``Mesh('data', 'model')`` over all devices (ICI);
+* batch sharding via ``NamedSharding(P('data'))`` on every batch array —
+  gradient all-reduce becomes an XLA-inserted psum over ICI, no hand-written
+  collectives;
+* optional tensor-parallel rules for the widest kernels (the 2048-channel
+  UNet bottleneck and discriminator conv3; SURVEY.md §2.5 TP row): conv
+  kernels are sharded on the output-channel dim and the following layer on
+  the input-channel dim, so XLA keeps activations sharded through the pair;
+* multi-host data feeding hooks (``process_index``-strided interval
+  assignment) for DCN-attached hosts.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from a2m.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, cfg.model)
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model == n, (
+        f'mesh {data}x{model} != {n} devices; set mesh.data/-1 or mesh.model')
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, cfg.axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# -- tensor-parallel parameter rules ----------------------------------------
+
+#: (regex on 'path/to/param', PartitionSpec) — first match wins.  Specs are
+#: padded/truncated to the param rank with the spec aligned to trailing dims.
+TP_RULES: list[tuple[str, tuple]] = [
+    # UNet bottleneck pair: 1024 -> 2048 sharded on out, consumer on in
+    (r'unet/bottleneck/conv/kernel', (None, None, 'model')),
+    (r'unet/bottleneck_attention/(query|key|value)/kernel', ('model', None)),
+    (r'unet/up0/kernel', (None, 'model', None)),
+    # discriminator conv3 pair (512 -> 1024 -> 2048)
+    (r'conv3b/conv/kernel', (None, None, 'model')),
+    (r'conv3_attn/(query|key|value)/kernel', ('model', None)),
+    (r'conv3c/conv/kernel', (None, 'model', None)),
+]
+
+
+def param_spec(path: str, shape: tuple, rules=None) -> P:
+    rules = rules if rules is not None else TP_RULES
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            spec = tuple(spec)[-len(shape):]
+            spec = (None,) * (len(shape) - len(spec)) + tuple(spec)
+            return P(*spec)
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, 'key', getattr(k, 'idx', k))))
+    return '/'.join(parts)
+
+
+def param_shardings(tree, mesh: Mesh, tensor_parallel: bool = False):
+    """NamedSharding tree for a parameter pytree.
+
+    With ``tensor_parallel=False`` (or a 1-sized model axis) everything is
+    replicated — pure data parallelism.
+    """
+    use_tp = tensor_parallel and mesh.shape.get('model', 1) > 1
+
+    def spec_for(path, leaf):
+        if not use_tp:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, param_spec(_path_str(path),
+                                              np.shape(leaf)))
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put numpy batch arrays with the batch axis sharded over
+    'data'.  Non-array entries (meta) pass through."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_states(states, mesh: Mesh):
+    return jax.device_put(states, replicated(mesh))
+
+
+def host_interval_slice(intervals: list, process_index: int | None = None,
+                        process_count: int | None = None) -> list:
+    """Multi-host data sharding: stride intervals across hosts over DCN so
+    each host feeds its local devices distinct data."""
+    pi = process_index if process_index is not None else jax.process_index()
+    pc = process_count if process_count is not None else jax.process_count()
+    return intervals[pi::pc]
+
+
+def make_sharded_train_steps(g_model, d_model, train_cfg, mesh: Mesh,
+                             tensor_parallel: bool = False):
+    """Jitted train steps with explicit GSPMD shardings.
+
+    States are replicated (or TP-sharded by rule); batches are sharded on the
+    data axis; XLA inserts the gradient psum over ICI.
+    """
+    from a2m.train.train_step import make_train_steps
+    g_step, d_step, eval_step = make_train_steps(g_model, d_model, train_cfg,
+                                                 donate=False,
+                                                 jit_steps=False)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def wrap(fn, n_state_args: int, n_batch_args: int, n_scalar: int):
+        # states: keep caller-placed shardings (replicated or TP-ruled);
+        # batch arrays: data-sharded; scalars: replicated
+        in_sh = ((None,) * n_state_args + (bs,) * n_batch_args
+                 + (rep,) * n_scalar)
+        return jax.jit(fn, in_shardings=in_sh)
+
+    # g_step(g_state, d_state, audio, pose, mean, std, smooth, noise, key)
+    g_sharded = wrap(g_step, 2, 2, 5)
+    # d_step(g_state, d_state, audio, pose, mean, std, sr, sf, noise, key)
+    d_sharded = wrap(d_step, 2, 2, 6)
+    # eval(g_state, d_state, audio, pose, mean, std, mask)
+    eval_sharded = jax.jit(eval_step, in_shardings=(
+        None, None, bs, bs, rep, rep, bs))
+    return g_sharded, d_sharded, eval_sharded

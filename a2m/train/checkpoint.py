@@ -1,0 +1,113 @@
+"""Checkpoint / resume via Orbax.
+
+The reference only *saves* ``state_dict``s (G and D per epoch + Best_Gen,
+`version5_model_train.py:501-516`) and has no resume path; optimizer and
+controller state are never persisted.  Here a checkpoint is the complete
+training state — (G, D) params + batch stats + optimizer states, controller
+state, normalization stats, epoch — so training resumes exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from a2m.train.train_step import NetState
+
+
+def _tree_to_pure(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory, max_to_keep: int = 5):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True))
+
+    def save(self, epoch: int, g_state: NetState, d_state: NetState,
+             controller_state: dict, mean, std,
+             extra: dict | None = None) -> None:
+        payload = dict(
+            g_params=_tree_to_pure(g_state.params),
+            g_batch_stats=_tree_to_pure(g_state.batch_stats),
+            g_opt=_tree_to_pure(g_state.opt_state),
+            d_params=_tree_to_pure(d_state.params),
+            d_batch_stats=_tree_to_pure(d_state.batch_stats),
+            d_opt=_tree_to_pure(d_state.opt_state),
+            mean=np.asarray(mean), std=np.asarray(std),
+        )
+        self.manager.save(epoch, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(payload),
+            controller=ocp.args.JsonSave(controller_state),
+            extra=ocp.args.JsonSave(extra or {}),
+        ))
+        self.manager.wait_until_finished()
+
+    def latest_epoch(self) -> int | None:
+        return self.manager.latest_step()
+
+    def restore(self, g_state: NetState, d_state: NetState,
+                epoch: int | None = None):
+        """Restore into the structure of freshly-initialized states."""
+        epoch = epoch if epoch is not None else self.manager.latest_step()
+        if epoch is None:
+            return None
+        template = dict(
+            g_params=_tree_to_pure(g_state.params),
+            g_batch_stats=_tree_to_pure(g_state.batch_stats),
+            g_opt=_tree_to_pure(g_state.opt_state),
+            d_params=_tree_to_pure(d_state.params),
+            d_batch_stats=_tree_to_pure(d_state.batch_stats),
+            d_opt=_tree_to_pure(d_state.opt_state),
+            mean=np.zeros(104, np.float32), std=np.ones(104, np.float32),
+        )
+        restored = self.manager.restore(epoch, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(template),
+            controller=ocp.args.JsonRestore(),
+            extra=ocp.args.JsonRestore(),
+        ))
+        st = restored['state']
+        new_g = NetState(st['g_params'], st['g_batch_stats'], st['g_opt'])
+        new_d = NetState(st['d_params'], st['d_batch_stats'], st['d_opt'])
+        return dict(epoch=epoch, g_state=new_g, d_state=new_d,
+                    controller=restored['controller'],
+                    mean=st['mean'], std=st['std'],
+                    extra=restored['extra'])
+
+    def save_best_generator(self, g_state: NetState) -> None:
+        """Standalone best-G checkpoint (reference Best_Gen,
+        version5_model_train.py:508-510)."""
+        path = self.directory / 'best_gen'
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path, dict(params=_tree_to_pure(g_state.params),
+                             batch_stats=_tree_to_pure(g_state.batch_stats)),
+                  force=True)
+        ckpt.wait_until_finished()
+
+    def load_best_generator(self, g_state: NetState) -> dict | None:
+        path = self.directory / 'best_gen'
+        if not path.exists():
+            return None
+        ckpt = ocp.StandardCheckpointer()
+        template = dict(params=_tree_to_pure(g_state.params),
+                        batch_stats=_tree_to_pure(g_state.batch_stats))
+        return ckpt.restore(path, template)
+
+
+def save_loss_history(path, loss_dict: dict) -> None:
+    """Loss-history artifact (reference saves loss.npy via torch.save,
+    version5_model_train.py:519-532)."""
+    np.save(str(path), np.asarray(json.dumps(loss_dict)))
+
+
+def load_loss_history(path) -> dict:
+    return json.loads(str(np.load(str(path), allow_pickle=False)))

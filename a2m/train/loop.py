@@ -1,0 +1,177 @@
+"""Training loop: dynamic GAN schedule over jitted steps.
+
+Reference flow (`version5_model_train.py:251-533`) with the fixes and TPU
+restructuring documented in :mod:`a2m.train.train_step`:
+
+epoch loop -> controller frequency/LR adjustment -> per batch: g_freq
+generator steps, (conditional) d_freq discriminator steps, history update ->
+per-epoch masked validation with loss breakdown -> Orbax checkpoint (+best
+generator) -> loss-history artifact.  Resume is supported (the reference has
+none).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a2m.config import Config
+from a2m.data import get_mean_std_necksub
+from a2m.models import Discriminator, Generator
+from a2m.train import checkpoint as ckpt_lib
+from a2m.train.controller import DynamicGANTraining
+from a2m.train.train_step import (NetState, init_states, make_train_steps,
+                                  set_lr)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataloader, g_model: Generator | None = None,
+                 d_model: Discriminator | None = None, seed: int = 0,
+                 log_fn: Callable[[str], None] = print):
+        self.cfg = cfg
+        self.dataloader = dataloader
+        self.log = log_fn
+        self.g_model = g_model or Generator(cfg.generator)
+        self.d_model = d_model or Discriminator(cfg.discriminator)
+        self.controller = DynamicGANTraining(cfg.train.controller)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.key, init_key = jax.random.split(self.key)
+        self.g_state, self.d_state = init_states(
+            self.g_model, self.d_model, init_key,
+            batch_size=cfg.data.batch_size,
+            time_steps=cfg.generator.time_steps,
+            g_lr=cfg.train.controller.g_lr, d_lr=cfg.train.controller.d_lr)
+
+        self.g_step, self.d_step, self.eval_step = make_train_steps(
+            self.g_model, self.d_model, cfg.train,
+            donate=cfg.train.donate_buffers)
+
+        # train-set normalization stats (reference
+        # version5_model_train.py:296; computed once, checkpointed)
+        mean, std = get_mean_std_necksub(dataloader.train)
+        self.mean = jnp.asarray(mean)
+        self.std = jnp.asarray(std)
+
+        self.ckpt = ckpt_lib.CheckpointManager(
+            Path(cfg.train.save_dir) / 'ckpt')
+        self.start_epoch = 0
+        self.loss_history: dict[str, list] = dict(
+            train_g=[], train_d=[], val_g=[], val_d=[])
+
+        if cfg.train.resume:
+            restored = self.ckpt.restore(self.g_state, self.d_state)
+            if restored is not None:
+                self.g_state = restored['g_state']
+                self.d_state = restored['d_state']
+                self.controller.load_state_dict(restored['controller'])
+                self.mean = jnp.asarray(restored['mean'])
+                self.std = jnp.asarray(restored['std'])
+                self.start_epoch = restored['epoch'] + 1
+                self.loss_history = restored['extra'].get(
+                    'loss_history', self.loss_history)
+                self.log(f'resumed from epoch {restored["epoch"]}')
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def train_epoch(self, epoch: int) -> tuple[float, float]:
+        cfg = self.cfg
+        ctrl = self.controller
+        g_freq, d_freq = ctrl.adjust_training_frequency(epoch)
+        g_lr, d_lr = ctrl.adjust_learning_rates(epoch)
+        self.g_state = self.g_state._replace(
+            opt_state=set_lr(self.g_state.opt_state, g_lr))
+        self.d_state = self.d_state._replace(
+            opt_state=set_lr(self.d_state.opt_state, d_lr))
+
+        real_lp = ctrl.label_params(epoch, is_real=True)
+        fake_lp = ctrl.label_params(epoch, is_real=False)
+        last_g = last_d = 0.0
+        n_batches = 0
+        for i, batch in enumerate(self.dataloader.train):
+            if batch['mask'].min() == 0:
+                continue  # drop ragged final batch in training (static jit)
+            audio = jnp.asarray(batch['audio/log_mel_512'])
+            pose = jnp.asarray(batch['pose/data'])
+
+            for _ in range(g_freq):
+                self.g_state, new_d_bs, gm = self.g_step(
+                    self.g_state, self.d_state, audio, pose, self.mean,
+                    self.std, real_lp.smooth_real, real_lp.noise_std,
+                    self._next_key())
+                self.d_state = self.d_state._replace(batch_stats=new_d_bs)
+            last_g = float(gm['g_loss'])
+
+            if ctrl.should_train_discriminator():
+                for _ in range(d_freq):
+                    self.d_state, self.g_state, dm = self.d_step(
+                        self.g_state, self.d_state, audio, pose, self.mean,
+                        self.std, real_lp.smooth_real, fake_lp.smooth_fake,
+                        real_lp.noise_std, self._next_key())
+                last_d = float(dm['d_loss'])
+            # else: reuse last_d (reference version5_model_train.py:407-411)
+
+            ctrl.update_loss_history(last_d, last_g)
+            n_batches += 1
+            if i % cfg.train.log_every_batches == cfg.train.log_every_batches - 1:
+                rd, rg = ctrl.get_recent_avg_loss()
+                self.log(f'[Epoch {epoch}] [Batch {i + 1}] '
+                         f'[D {last_d:.4f}] [G {last_g:.4f}] '
+                         f'[recent D {rd:.4f} G {rg:.4f}] '
+                         f'[freq G{g_freq}/D{d_freq}]')
+                self.loss_history['train_g'].append(last_g)
+                self.loss_history['train_d'].append(last_d)
+        return last_g, last_d
+
+    def validate(self) -> dict[str, float]:
+        sums: dict[str, float] = {}
+        steps = 0
+        for batch in self.dataloader.dev:
+            audio = jnp.asarray(batch['audio/log_mel_512'])
+            pose = jnp.asarray(batch['pose/data'])
+            mask = jnp.asarray(batch['mask'])
+            metrics = self.eval_step(self.g_state, self.d_state, audio, pose,
+                                     self.mean, self.std, mask)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            steps += 1
+        return {k: v / max(steps, 1) for k, v in sums.items()}
+
+    def fit(self, n_epochs: int | None = None) -> dict:
+        cfg = self.cfg
+        n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epochs
+        best_val = min(self.loss_history['val_g'], default=float('inf'))
+        for epoch in range(self.start_epoch, n_epochs):
+            t0 = time.perf_counter()
+            self.train_epoch(epoch)
+            val = self.validate()
+            self.loss_history['val_g'].append(val.get('val_g', 0.0))
+            self.loss_history['val_d'].append(val.get('val_d', 0.0))
+            self.log(f'[Validation] Epoch {epoch}/{n_epochs} | '
+                     f'G {val.get("val_g", 0):.4f} D {val.get("val_d", 0):.4f} | '
+                     f'bone {val.get("bone", 0):.4f} angle {val.get("angle", 0):.4f} '
+                     f'smooth {val.get("smooth", 0):.4f} jerk {val.get("jerk", 0):.4f} | '
+                     f'{time.perf_counter() - t0:.1f}s')
+
+            if val.get('val_g', float('inf')) < best_val:
+                best_val = val['val_g']
+                self.ckpt.save_best_generator(self.g_state)
+                self.log(f'new best G at epoch {epoch}')
+
+            if epoch % cfg.train.save_every_epochs == 0:
+                self.ckpt.save(epoch, self.g_state, self.d_state,
+                               self.controller.state_dict(), self.mean,
+                               self.std,
+                               extra=dict(loss_history=self.loss_history))
+                ckpt_lib.save_loss_history(
+                    Path(cfg.train.save_dir) / 'loss.npy', self.loss_history)
+        return self.loss_history

@@ -1,0 +1,252 @@
+"""Jitted GAN train/eval steps.
+
+Reference semantics (`version5_model_train.py:325-495`) restructured for XLA:
+
+* two fixed jitted steps (``g_step``, ``d_step``) with static shapes and
+  donated state — the controller's data-dependent branching (skip-D,
+  variable frequencies, LR mutation) stays host-side and only feeds traced
+  scalars, so nothing ever recompiles;
+* pose normalization happens on-device inside the step (given train-set
+  stats), fixing the reference's pairing-by-batch-index fragility
+  (version5_model_train.py:298-337);
+* label smoothing/noise is sampled on-device from controller scalars;
+* learning rates are optax ``inject_hyperparams`` scalars the controller
+  overwrites between epochs (multiplicative adaptation preserved);
+* BatchNorm parity: all forwards inside a train step run in train mode and
+  update running statistics — exactly what the reference's
+  ``model.train()``-mode forwards do, including the D forward inside the G
+  loss and the no-grad G forward inside the D step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from a2m.config import TrainConfig
+from a2m.models import Discriminator, Generator
+from a2m.models import losses as L
+
+
+class NetState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """Adam with an injectable learning rate (torch defaults: betas (0.9,
+    0.999), eps 1e-8 — version5_model_train.py:285-286)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def set_lr(opt_state, lr):
+    """Overwrite the injected learning-rate hyperparam."""
+    opt_state.hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def init_states(g_model: Generator, d_model: Discriminator, key,
+                batch_size: int, time_steps: int = 64,
+                audio_feats: int = 128, g_lr: float = 5e-4,
+                d_lr: float = 1e-3) -> tuple[NetState, NetState]:
+    kg, kd, kdrop = jax.random.split(key, 3)
+    audio = jnp.zeros((batch_size, time_steps, audio_feats), jnp.float32)
+    motion = jnp.zeros((batch_size, time_steps - 1, 104), jnp.float32)
+    # jit the inits: eager-mode init dispatches hundreds of tiny per-primitive
+    # compiles, which is pathological on remote-compile TPU backends
+    gv = jax.jit(g_model.init)({'params': kg, 'dropout': kdrop}, audio)
+    dv = jax.jit(d_model.init)({'params': kd, 'dropout': kdrop}, motion)
+    g_opt = make_optimizer(g_lr).init(gv['params'])
+    d_opt = make_optimizer(d_lr).init(dv['params'])
+    return (NetState(gv['params'], gv.get('batch_stats', FrozenDict({})),
+                     g_opt),
+            NetState(dv['params'], dv.get('batch_stats', FrozenDict({})),
+                     d_opt))
+
+
+def normalize_pose_device(pose, mean, std):
+    """Neck-sub + standardize on device (block layout)."""
+    b, t, f = pose.shape
+    p = pose.reshape(b, t, 2, -1)
+    p = p - p[..., 0:1]
+    return (p.reshape(b, t, f) - mean) / std
+
+
+def smooth_labels(key, batch_size: int, out_dim: int, smooth: jnp.ndarray,
+                  noise_std: jnp.ndarray, is_real: bool) -> jnp.ndarray:
+    """On-device annealed smooth labels (version5_model_train.py:160-180)."""
+    base = jnp.full((batch_size, out_dim), smooth, jnp.float32)
+    noisy = base + noise_std * jax.random.normal(key, base.shape)
+    if is_real:
+        return jnp.clip(noisy, 0.85, 1.0)
+    return jnp.clip(noisy, 0.0, 0.15)
+
+
+def _apply_g(g_model, params, batch_stats, audio, key, train):
+    variables = {'params': params, 'batch_stats': batch_stats}
+    if train:
+        out, mutated = g_model.apply(
+            variables, audio, train=True, rngs={'dropout': key},
+            mutable=['batch_stats'])
+        return out, mutated['batch_stats']
+    return g_model.apply(variables, audio, train=False), batch_stats
+
+
+def _apply_d(d_model, params, batch_stats, motion, key, train):
+    variables = {'params': params, 'batch_stats': batch_stats}
+    if train:
+        (scores, aux), mutated = d_model.apply(
+            variables, motion, train=True, rngs={'dropout': key},
+            mutable=['batch_stats'])
+        return scores, aux, mutated['batch_stats']
+    scores, aux = d_model.apply(variables, motion, train=False)
+    return scores, aux, batch_stats
+
+
+def _per_sample_angles(pose, hand: bool):
+    """Per-sample mean angle range penalty (for masked eval breakdowns)."""
+    from a2m import constants
+    if hand:
+        joints = L.to_joints(pose)[..., 10:52, :]
+        triples, lo = constants.hand_triples(), 0.0
+    else:
+        joints = L.to_joints(pose)[..., :10, :]
+        triples, lo = constants.body_triples(), -jnp.pi / 2
+    angles = L._signed_angles(joints, triples)
+    pen = jax.nn.relu(lo - angles) + jax.nn.relu(angles - jnp.pi)
+    return pen.reshape(pose.shape[0], -1).mean(axis=1)
+
+
+def make_train_steps(g_model: Generator, d_model: Discriminator,
+                     cfg: TrainConfig, donate: bool = True,
+                     jit_steps: bool = True):
+    """Build (g_step, d_step, eval_step) closures; ``jit_steps=False``
+    returns the raw traceable functions (for custom sharding wrappers)."""
+
+    g_tx = make_optimizer(cfg.controller.g_lr)
+    d_tx = make_optimizer(cfg.controller.d_lr)
+
+    def g_step(g_state: NetState, d_state: NetState, audio, pose,
+               mean, std, smooth, noise_std, key):
+        """One generator update (version5_model_train.py:350-379).
+
+        Returns (new_g_state, new_d_batch_stats, metrics).  D's running BN
+        stats update because its forward runs in train mode, matching torch.
+        """
+        k_label, k_gdrop, k_ddrop = jax.random.split(key, 3)
+        real_pose = normalize_pose_device(pose, mean, std)
+        real_motion = L.pos_to_motion(real_pose)
+        valid = smooth_labels(k_label, audio.shape[0], 4, smooth, noise_std,
+                              is_real=True)
+
+        def loss_fn(g_params):
+            fake_pose, new_g_bs = _apply_g(g_model, g_params,
+                                           g_state.batch_stats, audio,
+                                           k_gdrop, True)
+            fake_motion = L.pos_to_motion(fake_pose)
+            fake_d, _, new_d_bs = _apply_d(d_model, d_state.params,
+                                           d_state.batch_stats, fake_motion,
+                                           k_ddrop, True)
+            g_loss = (L.l1_loss(real_motion, fake_motion)
+                      + cfg.lambda_gan * L.mse_loss(fake_d, valid))
+            smooth_l = L.temporal_smoothness_loss(fake_motion)
+            jerk_l = L.jerk_loss(fake_motion)
+            bone_l = L.bone_length_loss(real_pose, fake_pose)
+            angle_l = L.comprehensive_angle_loss(fake_pose)
+            total = (g_loss + cfg.lambda_smooth * smooth_l
+                     + cfg.lambda_jerk * jerk_l + bone_l + angle_l)
+            metrics = dict(g_loss=total, g_gan=g_loss, smooth=smooth_l,
+                           jerk=jerk_l, bone=bone_l, angle=angle_l)
+            return total, (new_g_bs, new_d_bs, metrics)
+
+        grads, (new_g_bs, new_d_bs, metrics) = jax.grad(
+            loss_fn, has_aux=True)(g_state.params)
+        updates, new_opt = g_tx.update(grads, g_state.opt_state,
+                                       g_state.params)
+        new_params = optax.apply_updates(g_state.params, updates)
+        return (NetState(new_params, new_g_bs, new_opt), new_d_bs, metrics)
+
+    def d_step(g_state: NetState, d_state: NetState, audio, pose,
+               mean, std, smooth_r, smooth_f, noise_std, key):
+        """One discriminator update (version5_model_train.py:385-405)."""
+        k_lr, k_lf, k_gdrop, k_d1, k_d2 = jax.random.split(key, 5)
+        real_pose = normalize_pose_device(pose, mean, std)
+        real_motion = L.pos_to_motion(real_pose)
+        valid = smooth_labels(k_lr, audio.shape[0], 4, smooth_r, noise_std,
+                              is_real=True)
+        fake = smooth_labels(k_lf, audio.shape[0], 4, smooth_f, noise_std,
+                             is_real=False)
+
+        # no-grad G forward in train mode (version5_model_train.py:391-393)
+        fake_pose, new_g_bs = _apply_g(g_model, g_state.params,
+                                       g_state.batch_stats, audio, k_gdrop,
+                                       True)
+        fake_motion = jax.lax.stop_gradient(L.pos_to_motion(fake_pose))
+
+        def loss_fn(d_params):
+            fake_d, _, bs1 = _apply_d(d_model, d_params, d_state.batch_stats,
+                                      fake_motion, k_d1, True)
+            real_d, _, bs2 = _apply_d(d_model, d_params, bs1, real_motion,
+                                      k_d2, True)
+            real_loss = L.mse_loss(real_d, valid)
+            fake_loss = L.mse_loss(fake_d, fake)
+            total = real_loss + cfg.lambda_d * fake_loss
+            metrics = dict(d_loss=total, d_real=real_loss, d_fake=fake_loss)
+            return total, (bs2, metrics)
+
+        grads, (new_d_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
+            d_state.params)
+        updates, new_opt = d_tx.update(grads, d_state.opt_state,
+                                       d_state.params)
+        new_params = optax.apply_updates(d_state.params, updates)
+        return (NetState(new_params, new_d_bs, new_opt),
+                g_state._replace(batch_stats=new_g_bs), metrics)
+
+    def eval_step(g_state: NetState, d_state: NetState, audio, pose,
+                  mean, std, mask):
+        """Validation pass with the reference's loss breakdown
+        (version5_model_train.py:425-495); eval mode, hard 1/0 labels,
+        masked means over the padded final batch."""
+        real_pose = normalize_pose_device(pose, mean, std)
+        real_motion = L.pos_to_motion(real_pose)
+        fake_pose, _ = _apply_g(g_model, g_state.params, g_state.batch_stats,
+                                audio, None, False)
+        fake_motion = L.pos_to_motion(fake_pose)
+        fake_d, _, _ = _apply_d(d_model, d_state.params, d_state.batch_stats,
+                                fake_motion, None, False)
+        real_d, _, _ = _apply_d(d_model, d_state.params, d_state.batch_stats,
+                                real_motion, None, False)
+        valid = jnp.ones_like(fake_d)
+        fake_lab = jnp.zeros_like(fake_d)
+
+        def mmean(x):  # per-sample -> masked batch mean
+            return L.masked_mean(x, mask)
+
+        reg = mmean(jnp.abs(real_motion - fake_motion))
+        g_gan = mmean((fake_d - valid) ** 2)
+        d_loss = mmean((real_d - valid) ** 2) + cfg.lambda_d * mmean(
+            (fake_d - fake_lab) ** 2)
+        accel = fake_motion[:, 1:] - fake_motion[:, :-1]
+        jerk = accel[:, 1:] - accel[:, :-1]
+        smooth_l = mmean(jnp.linalg.norm(accel, axis=-1))
+        jerk_l = mmean(jnp.linalg.norm(jerk, axis=-1))
+        bone_sq = (L.bone_lengths(fake_pose) - L.bone_lengths(real_pose)) ** 2
+        bone_l = mmean(bone_sq)
+        angle_l = mmean(0.7 * _per_sample_angles(fake_pose, hand=True)
+                        + 0.3 * _per_sample_angles(fake_pose, hand=False))
+        return dict(val_g=reg + cfg.lambda_gan * g_gan, val_d=d_loss,
+                    bone=bone_l, angle=angle_l, smooth=smooth_l,
+                    jerk=jerk_l)
+
+    if not jit_steps:
+        return g_step, d_step, eval_step
+    g_step_j = jax.jit(g_step, donate_argnums=(0,) if donate else ())
+    d_step_j = jax.jit(d_step, donate_argnums=(1,) if donate else ())
+    eval_step_j = jax.jit(eval_step)
+    return g_step_j, d_step_j, eval_step_j

@@ -120,7 +120,8 @@ def test_batched_matches_single(clip16):
     y = np.stack([clip16, clip16 * 0.5]).astype(np.float32)
     b = np.asarray(frontend.vggish_log_mel(y))
     s0 = np.asarray(frontend.vggish_log_mel(y[0]))
-    np.testing.assert_allclose(b[0], s0, atol=1e-6)
+    # batched matmuls may reassociate differently from single-row ones
+    np.testing.assert_allclose(b[0], s0, atol=1e-5)
 
 
 def test_tonal_parity_within_dynamic_range(clip):

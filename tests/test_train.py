@@ -1,0 +1,230 @@
+"""Controller + train-step + single-epoch loop tests (SURVEY.md §4d)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a2m.config import (Config, ControllerConfig, DataConfig,
+                        DiscriminatorConfig, GeneratorConfig, TrainConfig)
+from a2m.train.controller import DynamicGANTraining
+from a2m.train.train_step import (init_states, make_train_steps, set_lr,
+                                  smooth_labels)
+
+TINY_G = GeneratorConfig(in_channels=16, out_channels=16, joint_feat_dim=8,
+                         gat_heads=2, dropout=0.1)
+TINY_D = DiscriminatorConfig(out_channels=8, joint_feat_dim=8, gat_heads=2,
+                             dropout=0.1)
+
+
+# ---------------------------------------------------------------------------
+# DynamicGANTraining parity (reference version5_model_train.py:12-180)
+# ---------------------------------------------------------------------------
+
+def make_ctrl(**kw):
+    return DynamicGANTraining(ControllerConfig(**kw))
+
+
+def test_history_cap():
+    c = make_ctrl()
+    for i in range(150):
+        c.update_loss_history(float(i), float(i))
+    assert len(c.d_loss_history) == 100
+    assert c.d_loss_history[0] == 50.0
+
+
+def test_skip_discriminator_when_strong():
+    c = make_ctrl()
+    assert c.should_train_discriminator()  # empty history -> train
+    for _ in range(20):
+        c.update_loss_history(0.1, 0.9)    # D strong, G weak
+    assert not c.should_train_discriminator()
+    c2 = make_ctrl()
+    for _ in range(20):
+        c2.update_loss_history(0.5, 0.5)
+    assert c2.should_train_discriminator()
+
+
+def test_frequency_adaptation_bounds():
+    c = make_ctrl()
+    # D too strong -> G freq up to max 6, D freq down to min 1
+    for _ in range(20):
+        c.update_loss_history(0.01, 1.0)
+    for epoch in range(10):
+        g, d = c.adjust_training_frequency(epoch)
+    assert g == 6 and d == 1
+    # G too strong (ratio > 2.5) -> D up to max 2, G down to min 2
+    c2 = make_ctrl()
+    for _ in range(20):
+        c2.update_loss_history(1.0, 0.2)
+    for epoch in range(10):
+        g, d = c2.adjust_training_frequency(epoch)
+    assert g == 2 and d == 2
+
+
+def test_lr_adaptation():
+    c = make_ctrl(g_lr=5e-4, d_lr=1e-3)
+    # short history -> initial LRs
+    g, d = c.adjust_learning_rates(0)
+    assert g == 5e-4 and d == 1e-3
+    for _ in range(20):
+        c.update_loss_history(0.1, 0.9)    # D strong
+    g1, d1 = c.adjust_learning_rates(1)
+    assert g1 == pytest.approx(5e-4 * 1.05)
+    assert d1 == pytest.approx(1e-3 * 0.9)
+    c2 = make_ctrl(g_lr=5e-4, d_lr=1e-3)
+    for _ in range(20):
+        c2.update_loss_history(0.7, 0.2)   # G strong
+    g2, d2 = c2.adjust_learning_rates(1)
+    assert g2 == pytest.approx(5e-4 * 0.9)
+    assert d2 == pytest.approx(1e-3 * 1.05)
+
+
+def test_label_annealing():
+    c = make_ctrl()
+    lp0 = c.label_params(0, is_real=True)
+    lp60 = c.label_params(60, is_real=True)
+    lp100 = c.label_params(100, is_real=True)
+    # early epochs: extra smoothing offset, more noise
+    assert lp0.smooth_real == pytest.approx(0.98 - 0.05)
+    assert lp0.noise_std == pytest.approx(0.01)
+    assert lp60.smooth_real == pytest.approx(0.98)
+    assert lp60.noise_std == pytest.approx(0.002)
+    assert lp100.smooth_real == pytest.approx(0.98)
+    f0 = c.label_params(0, is_real=False)
+    assert f0.smooth_fake == pytest.approx(0.02 + 0.05)
+
+
+def test_smooth_labels_device():
+    key = jax.random.PRNGKey(0)
+    real = np.asarray(smooth_labels(key, 16, 4, 0.93, 0.01, is_real=True))
+    fake = np.asarray(smooth_labels(key, 16, 4, 0.07, 0.01, is_real=False))
+    assert real.shape == (16, 4) and fake.shape == (16, 4)
+    assert real.min() >= 0.85 and real.max() <= 1.0
+    assert fake.min() >= 0.0 and fake.max() <= 0.15
+    assert real.std() > 0  # noise applied
+
+
+def test_controller_state_roundtrip():
+    c = make_ctrl()
+    for i in range(30):
+        c.update_loss_history(0.3 + i * 0.01, 0.6)
+    c.adjust_training_frequency(5)
+    c.adjust_learning_rates(5)
+    state = c.state_dict()
+    c2 = make_ctrl()
+    c2.load_state_dict(state)
+    assert c2.g_lr_current == c.g_lr_current
+    assert c2.d_loss_history == c.d_loss_history
+    assert c2.g_train_freq == c.g_train_freq
+
+
+# ---------------------------------------------------------------------------
+# train steps
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def steps_and_states():
+    from a2m.models import Discriminator, Generator
+    cfg = TrainConfig()
+    g_model, d_model = Generator(TINY_G), Discriminator(TINY_D)
+    g_state, d_state = init_states(g_model, d_model, jax.random.PRNGKey(0),
+                                   batch_size=4)
+    g_step, d_step, eval_step = make_train_steps(g_model, d_model, cfg,
+                                                 donate=False)
+    return g_step, d_step, eval_step, g_state, d_state
+
+
+def _fake_batch(rng, b=4):
+    audio = jnp.asarray(rng.standard_normal((b, 64, 128)), jnp.float32)
+    pose = jnp.asarray(rng.standard_normal((b, 64, 104)) * 10 + 300,
+                       jnp.float32)
+    return audio, pose
+
+
+def test_g_step_finite_and_updates(steps_and_states, rng):
+    g_step, _, _, g_state, d_state = steps_and_states
+    audio, pose = _fake_batch(rng)
+    mean = jnp.zeros(104)
+    std = jnp.ones(104)
+    new_g, new_d_bs, metrics = g_step(g_state, d_state, audio, pose, mean,
+                                      std, 0.93, 0.01, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['g_loss']))
+    for k in ('g_gan', 'smooth', 'jerk', 'bone', 'angle'):
+        assert np.isfinite(float(metrics[k]))
+    # params changed
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        g_state.params, new_g.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_d_step_finite_and_updates(steps_and_states, rng):
+    _, d_step, _, g_state, d_state = steps_and_states
+    audio, pose = _fake_batch(rng)
+    mean, std = jnp.zeros(104), jnp.ones(104)
+    new_d, new_g, metrics = d_step(g_state, d_state, audio, pose, mean, std,
+                                   0.93, 0.07, 0.01, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics['d_loss']))
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                        d_state.params, new_d.params)
+    assert max(jax.tree.leaves(diff)) > 0
+    # G params untouched by the D step (only its BN stats may change)
+    diff_g = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          g_state.params, new_g.params)
+    assert max(jax.tree.leaves(diff_g)) == 0
+
+
+def test_eval_step_masked(steps_and_states, rng):
+    _, _, eval_step, g_state, d_state = steps_and_states
+    audio, pose = _fake_batch(rng)
+    mean, std = jnp.zeros(104), jnp.ones(104)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    metrics = eval_step(g_state, d_state, audio, pose, mean, std, mask)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_set_lr():
+    import optax
+    from a2m.train.train_step import make_optimizer
+    tx = make_optimizer(1e-3)
+    params = {'w': jnp.ones(3)}
+    state = tx.init(params)
+    state = set_lr(state, 5e-4)
+    assert float(state.hyperparams['learning_rate']) == pytest.approx(5e-4)
+    # update still works after LR override
+    grads = {'w': jnp.ones(3)}
+    updates, _ = tx.update(grads, state, params)
+    assert np.isfinite(np.asarray(updates['w'])).all()
+
+
+# ---------------------------------------------------------------------------
+# one-epoch end-to-end loop on synthetic data
+# ---------------------------------------------------------------------------
+
+def test_trainer_one_epoch(tmp_path, rng):
+    from a2m.data import DataLoader, make_synthetic_pats
+    from a2m.train.loop import Trainer
+
+    root = make_synthetic_pats(tmp_path / 'pats', speakers=('oliver',),
+                               intervals_per_speaker=4, duration_s=8.0)
+    cfg = Config(
+        generator=TINY_G, discriminator=TINY_D,
+        data=DataConfig(path2data=str(root), speakers=('oliver',),
+                        batch_size=4, window_hop=30),
+        train=TrainConfig(n_epochs=1, save_dir=str(tmp_path / 'save'),
+                          log_every_batches=1000, donate_buffers=False),
+    )
+    dl = DataLoader(path2data=root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=4, window_hop=30)
+    trainer = Trainer(cfg, dl, log_fn=lambda s: None)
+    history = trainer.fit(1)
+    assert len(history['val_g']) == 1
+    assert np.isfinite(history['val_g'][0])
+
+    # resume: a new trainer picks up epoch 1
+    trainer2 = Trainer(cfg, dl, log_fn=lambda s: None)
+    assert trainer2.start_epoch == 1
