@@ -1,4 +1,5 @@
-from a2m.data import hdf5_io, normalization, synthetic, windowing
+from a2m.data import (diagnose, hdf5_io, normalization, pose_codec,
+                      synthetic, windowing)
 from a2m.data.dataset import (AlternateClassSampler, BalanceClassSampler,
                               Batcher, ConcatIntervals, DataLoader,
                               Data_Loader, IntervalData, RandomSampler,
@@ -14,7 +15,8 @@ from a2m.data.synthetic import make_synthetic_pats
 from a2m.data.windowing import WindowIndex, window_index
 
 __all__ = [
-    'hdf5_io', 'normalization', 'synthetic', 'windowing',
+    'diagnose', 'hdf5_io', 'normalization', 'pose_codec', 'synthetic',
+    'windowing',
     'AlternateClassSampler', 'BalanceClassSampler', 'Batcher',
     'ConcatIntervals', 'DataLoader', 'Data_Loader', 'IntervalData',
     'RandomSampler', 'SequentialSampler', 'SubsetRandomSampler',

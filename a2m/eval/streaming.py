@@ -1,0 +1,93 @@
+"""Long-audio streaming inference: arbitrary-length audio -> pose sequence.
+
+The reference is pinned to 64-frame windows end to end (SURVEY.md §5
+"long-context": sequence length fixed at the dataset level, no streaming
+path).  This module adds the capability TPU-style: the feature stream is
+cut into overlapping windows along the time axis, the whole window batch
+runs through the generator as ONE device program (the batch axis is also
+the shardable axis for multi-chip streaming), and overlapping predictions
+are blended with a linear crossfade — giving O(audio length) streaming
+inference with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a2m import constants
+
+
+def window_starts(n_frames: int, window: int, hop: int) -> np.ndarray:
+    """Window start indices covering [0, n_frames) (last window clamped)."""
+    if n_frames <= window:
+        return np.array([0])
+    starts = np.arange(0, n_frames - window + 1, hop)
+    if starts[-1] + window < n_frames:
+        starts = np.append(starts, n_frames - window)
+    return starts
+
+
+def blend(pred: np.ndarray, starts: np.ndarray, n_frames: int,
+          window: int) -> np.ndarray:
+    """Host-side overlap-add with triangular crossfade weights.
+
+    pred: (W, window, F) window predictions; returns (n_frames, F).
+    """
+    feats = pred.shape[-1]
+    out = np.zeros((n_frames, feats), np.float64)
+    acc = np.zeros((n_frames, 1), np.float64)
+    w = np.minimum(np.arange(1, window + 1),
+                   np.arange(window, 0, -1)).astype(np.float64)[:, None]
+    for s, p in zip(starts, pred):
+        n = min(window, n_frames - int(s))  # clips shorter than one window
+        out[s:s + n] += w[:n] * p[:n]
+        acc[s:s + n] += w[:n]
+    return (out / np.maximum(acc, 1e-9)).astype(np.float32)
+
+
+def stream_poses(generator, variables, features: np.ndarray,
+                 window: int = constants.FRAMES_PER_WINDOW,
+                 hop: int = 32, batch_size: int = 64) -> np.ndarray:
+    """features: (T, 128) log-mel at pose rate -> (T, 104) pose.
+
+    Windows are batched and run through a single jitted forward; arbitrary
+    duration is handled by chunking the window batch.
+    """
+    t = features.shape[0]
+    starts = window_starts(t, window, hop)
+    idx = starts[:, None] + np.arange(window)[None, :]
+    windows = features[np.minimum(idx, t - 1)]          # (W, window, 128)
+
+    apply = jax.jit(lambda v, a: generator.apply(v, a, train=False))
+    preds = []
+    for i in range(0, len(windows), batch_size):
+        chunk = windows[i:i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+        out = np.asarray(apply(variables, jnp.asarray(chunk,
+                                                      jnp.float32)))
+        preds.append(out[:len(windows[i:i + batch_size])])
+    pred = np.concatenate(preds, axis=0)
+    return blend(pred, starts, t, window)
+
+
+def stream_from_waveform(generator, variables, waveform: np.ndarray,
+                         sr: int, method: str = 'log_mel_512',
+                         hop: int = 32, batch_size: int = 64) -> np.ndarray:
+    """Raw audio of any length -> (T_pose, 104) pose via the TPU frontend +
+    windowed generator."""
+    from a2m.audio import frontend
+    if method != 'log_mel_512':
+        raise ValueError('streaming currently supports log_mel_512')
+    feats = np.asarray(frontend.log_mel_512(
+        np.asarray(waveform, np.float32), sr, exact=False))
+    fs = constants.AUDIO_FS_MAP['log_mel_512']
+    stride = round(fs / constants.POSE_FPS)
+    feats = feats[::stride]                              # pose-rate features
+    return stream_poses(generator, variables, feats, hop=hop,
+                        batch_size=batch_size)

@@ -36,8 +36,13 @@ class Trainer:
         self.cfg = cfg
         self.dataloader = dataloader
         self.log = log_fn
-        self.g_model = g_model or Generator(cfg.generator)
-        self.d_model = d_model or Discriminator(cfg.discriminator)
+        import jax.numpy as _jnp
+        compute_dtype = (_jnp.bfloat16 if cfg.train.compute_dtype == 'bf16'
+                         else _jnp.float32)
+        self.g_model = g_model or Generator(cfg.generator,
+                                            dtype=compute_dtype)
+        self.d_model = d_model or Discriminator(cfg.discriminator,
+                                                dtype=compute_dtype)
         self.controller = DynamicGANTraining(cfg.train.controller)
         self.key = jax.random.PRNGKey(seed)
 

@@ -1,0 +1,221 @@
+"""Tests for auxiliary tools: diagnose, audio I/O, pose codec, config grid,
+profiling, eval harness."""
+
+import json
+
+import numpy as np
+import pytest
+
+from a2m.config import Config, apply_overrides, config_grid
+from a2m.data import make_synthetic_pats
+from a2m.data.pose_codec import (SpeakerStats, de_normalize_relative_keypoints,
+                                 decode_pose_normalized_keypoints,
+                                 delete_face_keypoints,
+                                 get_sample_output_by_config,
+                                 normalize_relative_keypoints,
+                                 preprocess_to_relative, translate_keypoints)
+
+
+@pytest.fixture(scope='module')
+def pats_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('pats_aux')
+    return make_synthetic_pats(root, speakers=('oliver',),
+                               intervals_per_speaker=4, duration_s=10.0)
+
+
+# ---------------------------------------------------------------------------
+# config system
+# ---------------------------------------------------------------------------
+
+def test_apply_overrides_nested():
+    cfg = apply_overrides(Config(), ['data.batch_size=4',
+                                     'train.n_epochs=2',
+                                     'generator.dropout=0.5',
+                                     'data.speakers=oliver,noah',
+                                     'train.controller.g_lr=0.001'])
+    assert cfg.data.batch_size == 4
+    assert cfg.train.n_epochs == 2
+    assert cfg.generator.dropout == 0.5
+    assert cfg.data.speakers == ('oliver', 'noah')
+    assert cfg.train.controller.g_lr == 0.001
+
+
+def test_apply_overrides_unknown_key():
+    with pytest.raises(KeyError):
+        apply_overrides(Config(), ['data.nonexistent=1'])
+
+
+def test_config_grid():
+    grid = config_grid(Config(), {'data.batch_size': ['4', '8'],
+                                  'train.n_epochs': ['1', '2', '3']})
+    assert len(grid) == 6
+    sizes = {(c.data.batch_size, c.train.n_epochs) for c in grid}
+    assert (4, 1) in sizes and (8, 3) in sizes
+
+
+# ---------------------------------------------------------------------------
+# pose codec (pose_logic_lib parity)
+# ---------------------------------------------------------------------------
+
+def test_relative_roundtrip(rng):
+    k = rng.standard_normal((6, 104)) * 50 + 300
+    rel = preprocess_to_relative(k)
+    assert rel.shape == (6, 104)
+    r = rel.reshape(6, 2, 52)
+    np.testing.assert_allclose(r[:, :, 0], 0.0, atol=1e-9)
+
+
+def test_speaker_stats_normalize_roundtrip(rng):
+    stats = SpeakerStats({'oliver': dict(
+        mean=rng.standard_normal(104).tolist(),
+        std=(rng.uniform(0.5, 2.0, 104)).tolist(),
+        scale_factor=1.3)})
+    k = rng.standard_normal((5, 104))
+    n = normalize_relative_keypoints(k, 'oliver', stats)
+    d = de_normalize_relative_keypoints(n, 'oliver', stats)
+    np.testing.assert_allclose(d, k, atol=1e-9)
+    d2 = de_normalize_relative_keypoints(n, 'oliver', stats,
+                                         scale_to_ref=True)
+    np.testing.assert_allclose(d2, k * 1.3, atol=1e-9)
+
+
+def test_decode_zeroes_root_and_translates(rng):
+    stats = SpeakerStats({'s': dict(mean=np.zeros(104).tolist(),
+                                    std=np.ones(104).tolist())})
+    enc = rng.standard_normal((3, 104))
+    out = decode_pose_normalized_keypoints(enc, shift=np.array([10.0, 20.0]),
+                                           speaker='s', stats=stats,
+                                           scale_to_ref=False)
+    assert out.shape == (3, 2, 52)
+    np.testing.assert_allclose(out[:, 0, 0], 10.0)
+    np.testing.assert_allclose(out[:, 1, 0], 20.0)
+
+
+def test_delete_face_keypoints():
+    k = np.arange(2 * 52).reshape(2, 52)
+    out = delete_face_keypoints(k)
+    assert out.shape == (2, 49)
+    assert 7 not in out[0] and 9 not in out[0]
+
+
+def test_conditioned_slicing():
+    x = np.zeros((2, 10, 4))
+    assert get_sample_output_by_config(x, 0.25).shape == (2, 8, 4)
+    assert get_sample_output_by_config(x, None).shape == (2, 10, 4)
+
+
+def test_speaker_stats_compute_and_io(pats_root, tmp_path):
+    from a2m.data import DataLoader
+    dl = DataLoader(path2data=pats_root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=8, window_hop=20)
+    stats = SpeakerStats.compute({'oliver': dl.train},
+                                 reference_speaker='oliver')
+    assert stats.scale_factor('oliver') == pytest.approx(1.0)
+    fp = tmp_path / 'stats.json'
+    stats.save(fp)
+    loaded = SpeakerStats.load(fp)
+    np.testing.assert_allclose(loaded.mean('oliver'), stats.mean('oliver'))
+
+
+# ---------------------------------------------------------------------------
+# diagnose + audio io
+# ---------------------------------------------------------------------------
+
+def test_diagnose_clean_dataset(pats_root):
+    from a2m.data.diagnose import diagnose
+    failures = diagnose(pats_root, ['oliver'], batch_size=4, max_batches=3,
+                        log=lambda s: None)
+    assert failures == []
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    from a2m.audio.io import load_wav, save_wav, wav_to_features
+    y = (rng.standard_normal(16000) * 0.1).astype(np.float64)
+    fp = tmp_path / 'x.wav'
+    save_wav(fp, y, 16000)
+    y2, sr = load_wav(fp)
+    assert sr == 16000
+    np.testing.assert_allclose(y2, y, atol=1e-4)  # int16 quantization
+    feats = wav_to_features(fp, 'vggish')
+    assert feats.shape[1] == 64
+
+
+def test_profiling_timers():
+    from a2m.utils import Timers
+    t = Timers()
+    with t('x'):
+        sum(range(1000))
+    with t('x'):
+        pass
+    s = t.summary()
+    assert s['x']['count'] == 2
+    assert s['x']['total_s'] >= 0
+
+
+def test_eval_harness_synthetic(pats_root):
+    from a2m.config import Config, GeneratorConfig
+    from a2m.eval import evaluate_speaker
+    cfg = Config(generator=GeneratorConfig(in_channels=16, out_channels=16,
+                                           joint_feat_dim=8, gat_heads=2))
+    out = evaluate_speaker(pats_root, 'oliver', None, batch_size=8, cfg=cfg,
+                           max_batches=1)
+    assert out['n_clips'] > 0
+    assert 0.0 <= out['pck'] <= 1.0
+    assert np.isfinite(out['l2'])
+
+
+# ---------------------------------------------------------------------------
+# streaming inference
+# ---------------------------------------------------------------------------
+
+def test_streaming_long_audio(rng):
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import blend, stream_poses, window_starts
+    from a2m.models import Generator
+
+    starts = window_starts(200, 64, 32)
+    assert starts[0] == 0 and starts[-1] == 200 - 64
+    # full coverage
+    covered = np.zeros(200, bool)
+    for s in starts:
+        covered[s:s + 64] = True
+    assert covered.all()
+
+    # blend of identical windows reproduces the signal
+    sig = rng.standard_normal((200, 3)).astype(np.float32)
+    idx = starts[:, None] + np.arange(64)[None, :]
+    pred = sig[idx]
+    out = blend(pred, starts, 200, 64)
+    np.testing.assert_allclose(out, sig, atol=1e-5)
+
+    # end-to-end: 200-frame feature stream through a tiny generator
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    feats = rng.standard_normal((200, 128)).astype(np.float32)
+    pose = stream_poses(g, v, feats, hop=32, batch_size=8)
+    assert pose.shape == (200, 104)
+    assert np.isfinite(pose).all()
+
+
+def test_streaming_short_clip(rng):
+    """Clips shorter than one window must not crash blend (regression)."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import stream_poses
+    from a2m.models import Generator
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    feats = rng.standard_normal((30, 128)).astype(np.float32)
+    pose = stream_poses(g, v, feats, hop=32, batch_size=4)
+    assert pose.shape == (30, 104)
+    assert np.isfinite(pose).all()
