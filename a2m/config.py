@@ -111,8 +111,13 @@ class TrainConfig:
     log_every_batches: int = 200
     resume: bool = True             # resume from latest checkpoint if present
     controller: ControllerConfig = field(default_factory=ControllerConfig)
-    # precision policy: 'f32' or 'bf16' (matmul/conv compute dtype)
-    compute_dtype: str = 'bf16'
+    # precision policy: 'f32' or 'bf16' (matmul/conv compute dtype).
+    # bf16 is ~28x faster per g_step; adam's full-magnitude first step makes
+    # the wide D spike transiently (f32 recovers, bf16 can tip to NaN) —
+    # enable grad_clip_norm (e.g. 1.0) when training in bf16.
+    compute_dtype: str = 'f32'
+    # global-norm gradient clipping; 0 disables (reference parity: none)
+    grad_clip_norm: float = 0.0
     donate_buffers: bool = True
 
 

@@ -1,0 +1,201 @@
+"""The five BASELINE.json benchmark configs as one harness.
+
+1. Single 4 s clip: log-mel + one generator forward (CPU-reference parity).
+2. Batched feature extraction over a speaker shard (device-batched STFT).
+3. Single-speaker train-step loop (jit + grad).
+4. Multi-speaker training with per-speaker stats + style conditioning.
+5. End-to-end audio -> pose -> video eval (inference + PCK/L2 + render).
+
+Run:  python -m a2m.eval.benchmarks [--configs 1,2,3] [--out bench.json]
+Each config reports wall-clock, a throughput metric, and (where relevant)
+parity numbers.  `bench.py` at the repo root prints the single headline
+line the driver records.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR = 45600
+CLIP_S = 4.3
+
+
+def _timed(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.perf_counter() - t0) / iters
+
+
+def config1_single_clip() -> dict:
+    """Single clip: frontend parity vs float64 golden + forward latency."""
+    from a2m.audio import frontend, mel_np
+    from a2m.models import Generator
+
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(int(SR * CLIP_S)) * 0.1)
+    golden = mel_np.log_mel_512(wave, SR)
+    feats = np.asarray(frontend.log_mel_512(wave.astype(np.float32), SR))
+    parity = float(np.abs(golden - feats).max())
+
+    model = Generator()
+    key = jax.random.PRNGKey(0)
+    window_feats = jnp.asarray(feats[:382:6][None], jnp.float32)
+    variables = jax.jit(model.init)({'params': key, 'dropout': key},
+                                    window_feats)
+    fwd = jax.jit(lambda a: model.apply(variables, a, train=False))
+    _, dt = _timed(fwd, window_feats, iters=20)
+    return dict(config='single_clip', logmel_max_abs_err_vs_float64=parity,
+                parity_target=1e-5, forward_ms=dt * 1e3,
+                realtime_factor=CLIP_S / dt)
+
+
+def config2_batched_features(batch: int = 256) -> dict:
+    """Batched log-mel over a speaker shard (XLA fast + Pallas fused)."""
+    from a2m.audio import frontend
+    from a2m.audio.pallas_mel import pallas_log_mel_512
+
+    rng = np.random.default_rng(0)
+    waves = jax.device_put((rng.standard_normal(
+        (batch, int(SR * CLIP_S))) * 0.1).astype(np.float32))
+    xla = jax.jit(lambda w: frontend.log_mel_512(w, SR, exact=False))
+    _, dt_x = _timed(xla, waves)
+    _, dt_p = _timed(lambda w: pallas_log_mel_512(w, SR), waves)
+    audio_s = batch * CLIP_S
+    return dict(config='batched_features', batch=batch,
+                xla_realtime_factor=audio_s / dt_x,
+                pallas_realtime_factor=audio_s / dt_p)
+
+
+def config3_train_step(batch: int = 128, steps: int = 10,
+                       compute_dtype: str = 'f32') -> dict:
+    """Single-speaker train-step loop (g_step + d_step)."""
+    from a2m.config import TrainConfig
+    from a2m.models import Discriminator, Generator
+    from a2m.train.train_step import init_states, make_train_steps
+
+    dt_ = jnp.bfloat16 if compute_dtype == 'bf16' else jnp.float32
+    g_model, d_model = Generator(dtype=dt_), Discriminator(dtype=dt_)
+    gs, ds = init_states(g_model, d_model, jax.random.PRNGKey(0),
+                         batch_size=batch)
+    g_step, d_step, _ = make_train_steps(g_model, d_model, TrainConfig(),
+                                         donate=False)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, 64, 128)), jnp.float32)
+    pose = jnp.asarray(rng.standard_normal((batch, 64, 104)), jnp.float32)
+    mean, std = jnp.zeros(104), jnp.ones(104)
+    key = jax.random.PRNGKey(1)
+
+    gs, ndbs, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01, key)
+    jax.block_until_ready(gm)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        gs, ndbs, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01,
+                              key)
+    jax.block_until_ready(gm)
+    g_ms = (time.perf_counter() - t0) / steps * 1e3
+
+    ds2 = ds._replace(batch_stats=ndbs)
+    ds2, gs, dm = d_step(gs, ds2, audio, pose, mean, std, 0.93, 0.07, 0.01,
+                         key)
+    jax.block_until_ready(dm)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        ds2, gs, dm = d_step(gs, ds2, audio, pose, mean, std, 0.93, 0.07,
+                             0.01, key)
+    jax.block_until_ready(dm)
+    d_ms = (time.perf_counter() - t0) / steps * 1e3
+    return dict(config='train_step', batch=batch, dtype=compute_dtype,
+                g_step_ms=g_ms, d_step_ms=d_ms,
+                samples_per_s=batch / ((g_ms + d_ms) / 1e3),
+                g_loss_finite=bool(np.isfinite(float(gm['g_loss']))),
+                d_loss_finite=bool(np.isfinite(float(dm['d_loss']))))
+
+
+def config4_multi_speaker(tmpdir='/tmp/a2m_bench_ms', epochs: int = 1) -> dict:
+    """Multi-speaker training epoch with style conditioning + per-speaker
+    stats on a synthetic tree."""
+    import shutil
+    from a2m.config import (Config, DataConfig, DiscriminatorConfig,
+                            GeneratorConfig, TrainConfig)
+    from a2m.data import DataLoader, make_synthetic_pats
+    from a2m.data.pose_codec import SpeakerStats
+    from a2m.train.loop import Trainer
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    root = make_synthetic_pats(tmpdir, speakers=('oliver', 'noah', 'seth'),
+                               intervals_per_speaker=4, duration_s=12.0)
+    dl = DataLoader(path2data=root, speaker=['oliver', 'noah', 'seth'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=16, window_hop=10,
+                    style_iters=4)
+    stats = SpeakerStats.compute({'all': dl.train})
+    cfg = Config(
+        generator=GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2),
+        discriminator=DiscriminatorConfig(out_channels=8, joint_feat_dim=8,
+                                          gat_heads=2),
+        data=DataConfig(path2data=str(root), batch_size=16),
+        train=TrainConfig(n_epochs=epochs, save_dir=tmpdir + '/save',
+                          log_every_batches=10 ** 6, resume=False,
+                          donate_buffers=False),
+    )
+    trainer = Trainer(cfg, dl, log_fn=lambda s: None)
+    t0 = time.perf_counter()
+    hist = trainer.fit(epochs)
+    wall = time.perf_counter() - t0
+    return dict(config='multi_speaker_training', epochs=epochs,
+                wall_s=wall, val_g=hist['val_g'][-1],
+                n_speakers=3, styles_used=True,
+                speaker_stats_computed=bool(stats.stats))
+
+
+def config5_e2e_eval(tmpdir='/tmp/a2m_bench_e2e') -> dict:
+    """Full-speaker inference + PCK/L2 + video render."""
+    import shutil
+    from a2m.config import Config, GeneratorConfig
+    from a2m.data import make_synthetic_pats
+    from a2m.eval.harness import evaluate_speaker
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    root = make_synthetic_pats(tmpdir, speakers=('oliver',),
+                               intervals_per_speaker=4, duration_s=12.0)
+    cfg = Config(generator=GeneratorConfig(in_channels=16, out_channels=16,
+                                           joint_feat_dim=8, gat_heads=2))
+    t0 = time.perf_counter()
+    result = evaluate_speaker(root, 'oliver', None, batch_size=16, cfg=cfg,
+                              render_sample_to=tmpdir + '/videos')
+    result.update(config='e2e_eval', wall_s=time.perf_counter() - t0)
+    return result
+
+
+ALL = {1: config1_single_clip, 2: config2_batched_features,
+       3: config3_train_step, 4: config4_multi_speaker, 5: config5_e2e_eval}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--configs', default='1,2,3,4,5')
+    ap.add_argument('--out', default=None)
+    args = ap.parse_args()
+    results = []
+    for c in (int(x) for x in args.configs.split(',')):
+        res = ALL[c]()
+        print(json.dumps(res))
+        results.append(res)
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()

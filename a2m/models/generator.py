@@ -77,7 +77,7 @@ class _PartDecoder(nn.Module):
         x = x.reshape(b, t, j * f)
         x = nn.Dense(c, dtype=self.dtype, precision=self.precision,
                      name='proj_out')(x)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm')(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name='norm')(x).astype(self.dtype)
 
         # post-stage (real_motion_model.py:88-93 body / :114-119 hand)
         x = ResBlock(c, p=self.p, name='post_res', **common)(x, train)

@@ -88,8 +88,8 @@ class DenseGATConv(nn.Module):
         # e[dst=i, src=j] = leaky(a_src[j] + a_dst[i])   (..., H, J_dst, J_src)
         e = (a_dst[..., :, None, :] + a_src[..., None, :, :])  # (..., Jd, Js, H)
         e = nn.leaky_relu(e, self.negative_slope)
-        e = jnp.where(mask[..., :, :, None], e, -jnp.inf)
-        alpha = jax.nn.softmax(e, axis=-2)             # softmax over src j
+        e = jnp.where(mask[..., :, :, None], e.astype(jnp.float32), -jnp.inf)
+        alpha = jax.nn.softmax(e, axis=-2).astype(xw.dtype)  # softmax over src
         out = jnp.einsum('...ijh,...jhf->...ihf', alpha,
                          xw, precision=self.precision)  # (..., J, H, F)
         if self.concat:
@@ -131,6 +131,7 @@ class GCNStack(nn.Module):
                                    dtype=self.dtype,
                                    precision=self.precision,
                                    name=f'gcn{i + 1}')(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f'norm{i + 1}')(x)
+            x = nn.LayerNorm(dtype=jnp.float32,
+                             name=f'norm{i + 1}')(x).astype(self.dtype)
             x = nn.leaky_relu(x, 0.2) + residual
         return nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -82,9 +82,12 @@ class ConvNormRelu(nn.Module):
                     dtype=self.dtype, precision=self.precision,
                     name='conv')(x)
         x = nn.Dropout(self.p, deterministic=not train)(x)
+        # BatchNorm always computes in f32: bf16 fast-variance cancellation
+        # (E[x^2] - E[x]^2) produces negative variances -> NaN
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name='norm')(x)
-        return nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)
+                         epsilon=1e-5, dtype=jnp.float32, name='norm')(x)
+        x = nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)
+        return x.astype(self.dtype)
 
 
 class SelfAttention(nn.Module):
@@ -100,8 +103,8 @@ class SelfAttention(nn.Module):
         k = nn.Dense(c // 8, dtype=self.dtype, name='key')(x)
         v = nn.Dense(c, dtype=self.dtype, name='value')(x)
         attn = jnp.einsum('btc,bsc->bts', q, k)      # (B, T, T), unscaled
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum('bts,bsc->btc', attn, v)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        out = jnp.einsum('bts,bsc->btc', attn.astype(v.dtype), v)
         gamma = self.param('gamma', nn.initializers.zeros, (1,))
         return gamma * out + x
 
@@ -184,8 +187,8 @@ class ConvTranspose1D(nn.Module):
             precision=self.precision)
         y = y + bias
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name='bn')(y)
-        return nn.relu(y)
+                         epsilon=1e-5, dtype=jnp.float32, name='bn')(y)
+        return nn.relu(y).astype(self.dtype)
 
 
 def interpolate_bilinear(x: jnp.ndarray, size: tuple[int, int]

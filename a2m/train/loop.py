@@ -51,7 +51,8 @@ class Trainer:
             self.g_model, self.d_model, init_key,
             batch_size=cfg.data.batch_size,
             time_steps=cfg.generator.time_steps,
-            g_lr=cfg.train.controller.g_lr, d_lr=cfg.train.controller.d_lr)
+            g_lr=cfg.train.controller.g_lr, d_lr=cfg.train.controller.d_lr,
+            grad_clip_norm=cfg.train.grad_clip_norm)
 
         self.g_step, self.d_step, self.eval_step = make_train_steps(
             self.g_model, self.d_model, cfg.train,

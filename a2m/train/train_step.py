@@ -39,9 +39,18 @@ class NetState(NamedTuple):
     opt_state: Any
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
+def make_optimizer(lr: float, grad_clip_norm: float = 0.0
+                   ) -> optax.GradientTransformation:
     """Adam with an injectable learning rate (torch defaults: betas (0.9,
-    0.999), eps 1e-8 — version5_model_train.py:285-286)."""
+    0.999), eps 1e-8 — version5_model_train.py:285-286), optionally preceded
+    by global-norm gradient clipping (bf16 stability; off by default for
+    reference parity)."""
+    if grad_clip_norm and grad_clip_norm > 0:
+        @optax.inject_hyperparams
+        def tx(learning_rate):
+            return optax.chain(optax.clip_by_global_norm(grad_clip_norm),
+                               optax.adam(learning_rate))
+        return tx(learning_rate=lr)
     return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
 
 
@@ -54,7 +63,8 @@ def set_lr(opt_state, lr):
 def init_states(g_model: Generator, d_model: Discriminator, key,
                 batch_size: int, time_steps: int = 64,
                 audio_feats: int = 128, g_lr: float = 5e-4,
-                d_lr: float = 1e-3) -> tuple[NetState, NetState]:
+                d_lr: float = 1e-3, grad_clip_norm: float = 0.0
+                ) -> tuple[NetState, NetState]:
     kg, kd, kdrop = jax.random.split(key, 3)
     audio = jnp.zeros((batch_size, time_steps, audio_feats), jnp.float32)
     motion = jnp.zeros((batch_size, time_steps - 1, 104), jnp.float32)
@@ -62,8 +72,8 @@ def init_states(g_model: Generator, d_model: Discriminator, key,
     # compiles, which is pathological on remote-compile TPU backends
     gv = jax.jit(g_model.init)({'params': kg, 'dropout': kdrop}, audio)
     dv = jax.jit(d_model.init)({'params': kd, 'dropout': kdrop}, motion)
-    g_opt = make_optimizer(g_lr).init(gv['params'])
-    d_opt = make_optimizer(d_lr).init(dv['params'])
+    g_opt = make_optimizer(g_lr, grad_clip_norm).init(gv['params'])
+    d_opt = make_optimizer(d_lr, grad_clip_norm).init(dv['params'])
     return (NetState(gv['params'], gv.get('batch_stats', FrozenDict({})),
                      g_opt),
             NetState(dv['params'], dv.get('batch_stats', FrozenDict({})),
@@ -129,8 +139,8 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
     """Build (g_step, d_step, eval_step) closures; ``jit_steps=False``
     returns the raw traceable functions (for custom sharding wrappers)."""
 
-    g_tx = make_optimizer(cfg.controller.g_lr)
-    d_tx = make_optimizer(cfg.controller.d_lr)
+    g_tx = make_optimizer(cfg.controller.g_lr, cfg.grad_clip_norm)
+    d_tx = make_optimizer(cfg.controller.d_lr, cfg.grad_clip_norm)
 
     def g_step(g_state: NetState, d_state: NetState, audio, pose,
                mean, std, smooth, noise_std, key):
