@@ -160,6 +160,21 @@ class MissingData:
         return set()
 
 
+def restore_all_intervals(path2data, speaker: str,
+                          key: str = 'pose/data') -> int:
+    """Batch layout repair across a speaker's interval files (reference
+    h5_processor.py:127-143).  Returns the number of files rewritten."""
+    base = Path(path2data) / 'processed' / speaker
+    count = 0
+    for fp in sorted(base.glob('*.h5')):
+        with h5py.File(fp, 'r') as h5:
+            needs = key in h5 and h5[key].ndim == 3
+        if needs:
+            restore_interval_shape(fp, key)
+            count += 1
+    return count
+
+
 def restore_interval_shape(path2h5, key: str = 'pose/data') -> None:
     """Rewrite a (N, 2, 52) pose dataset to the canonical flat (N, 104)
     block layout [x0..x51, y0..y51].

@@ -44,8 +44,18 @@ class SpeakerStats:
         stats = {}
         for speaker, batcher in batcher_by_speaker.items():
             mean, std = get_mean_std_necksub(batcher, key=key)
+            # per-feature median over a sample of frames (the reference's
+            # per-speaker configs carry mean/median/std, consts.py:39-604)
+            frames = []
+            for batch in batcher:
+                p = batch[key][batch['mask'] > 0] if 'mask' in batch \
+                    else batch[key]
+                frames.append(p.reshape(-1, p.shape[-1]))
+                if sum(f.shape[0] for f in frames) > 50000:
+                    break
+            median = np.median(np.concatenate(frames), axis=0)
             stats[speaker] = dict(mean=mean.tolist(), std=std.tolist(),
-                                  scale_factor=1.0)
+                                  median=median.tolist(), scale_factor=1.0)
         if reference_speaker and reference_speaker in stats:
             def span(s):
                 m = np.asarray(s['mean'])
@@ -68,6 +78,9 @@ class SpeakerStats:
 
     def std(self, speaker: str) -> np.ndarray:
         return np.asarray(self.stats[speaker]['std'])
+
+    def median(self, speaker: str) -> np.ndarray:
+        return np.asarray(self.stats[speaker]['median'])
 
     def scale_factor(self, speaker: str) -> float:
         return float(self.stats[speaker].get('scale_factor', 1.0))

@@ -30,27 +30,57 @@ def _rest_pose() -> np.ndarray:
     return pos.T + np.array([[640.0], [360.0]])  # (2, 52) centered on screen
 
 
-def synth_pose(n_frames: int, rng: np.random.Generator) -> np.ndarray:
-    """(T, 104) float64 block-layout pose with smooth sinusoidal motion."""
+def synth_pose(n_frames: int, rng: np.random.Generator,
+               drive: np.ndarray | None = None) -> np.ndarray:
+    """(T, 104) float64 block-layout pose with smooth sinusoidal motion.
+
+    With ``drive`` (T,) in [0, 1], motion amplitude is modulated by the
+    signal — used to build audio-correlated fixtures a model can learn from.
+    """
     rest = _rest_pose()                       # (2, 52)
     t = np.arange(n_frames)[:, None, None] / constants.POSE_FPS
     freq = rng.uniform(0.2, 1.5, (1, 2, 52))
     phase = rng.uniform(0, 2 * np.pi, (1, 2, 52))
     amp = rng.uniform(2.0, 18.0, (1, 2, 52))
     motion = amp * np.sin(2 * np.pi * freq * t + phase)   # (T, 2, 52)
+    if drive is not None:
+        motion = motion * drive[:, None, None]
     pose = rest[None] + motion
     return pose.reshape(n_frames, 104)
 
 
 def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
-                   with_text: bool = False) -> None:
-    """Write one interval .h5 with pose/audio(/text) datasets."""
+                   with_text: bool = False, correlated: bool = False) -> None:
+    """Write one interval .h5 with pose/audio(/text) datasets.
+
+    ``correlated=True`` makes the pose motion amplitude follow a smooth
+    "audio energy" envelope that is also written into the mel features —
+    a learnable audio->motion mapping for end-to-end training validation.
+    """
     n_pose = int(duration_s * constants.POSE_FPS)
-    pose = synth_pose(n_pose, rng)
     fs512 = constants.AUDIO_FS_MAP['log_mel_512']
     fs400 = constants.AUDIO_FS_MAP['log_mel_400']
-    mel512 = rng.standard_normal((int(duration_s * fs512) + 1, 128)) - 6.0
-    mel400 = rng.standard_normal((int(duration_s * fs400) + 1, 64)) - 6.0
+    n512 = int(duration_s * fs512) + 1
+    n400 = int(duration_s * fs400) + 1
+
+    if correlated:
+        # smooth random envelope in [0.1, 1] at pose rate
+        knots = rng.uniform(0.1, 1.0, max(4, int(duration_s)))
+        env = np.interp(np.linspace(0, len(knots) - 1, n_pose),
+                        np.arange(len(knots)), knots)
+        pose = synth_pose(n_pose, rng, drive=env)
+        env512 = np.interp(np.linspace(0, n_pose - 1, n512),
+                           np.arange(n_pose), env)
+        env400 = np.interp(np.linspace(0, n_pose - 1, n400),
+                           np.arange(n_pose), env)
+        mel512 = (rng.standard_normal((n512, 128)) * 0.3 - 6.0
+                  + 4.0 * env512[:, None])
+        mel400 = (rng.standard_normal((n400, 64)) * 0.3 - 6.0
+                  + 4.0 * env400[:, None])
+    else:
+        pose = synth_pose(n_pose, rng)
+        mel512 = rng.standard_normal((n512, 128)) - 6.0
+        mel400 = rng.standard_normal((n400, 64)) - 6.0
     silence = rng.integers(0, 2, 2 * (n_pose - 1)).astype(np.int64)
     silence[1::2] = 0
 
@@ -74,7 +104,7 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
 def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                         intervals_per_speaker: int = 4,
                         duration_s: float = 12.0, seed: int = 0,
-                        with_text: bool = False,
+                        with_text: bool = False, correlated: bool = False,
                         splits=('train', 'train', 'dev', 'test')) -> Path:
     """Build a synthetic PATS tree under ``root`` and return its path.
 
@@ -94,6 +124,7 @@ def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                              start_time='0:00:00', end_time='0:00:12',
                              video_link='', video_fn='', yt_id=''))
             synth_interval(hdf5_io.interval_path(root, sp, str(iid)),
-                           duration_s, rng, with_text=with_text)
+                           duration_s, rng, with_text=with_text,
+                           correlated=correlated)
     pd.DataFrame(rows).to_csv(root / 'cmu_intervals_df.csv', index=False)
     return root

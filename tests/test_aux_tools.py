@@ -219,3 +219,14 @@ def test_streaming_short_clip(rng):
     pose = stream_poses(g, v, feats, hop=32, batch_size=4)
     assert pose.shape == (30, 104)
     assert np.isfinite(pose).all()
+
+
+def test_speaker_stats_median(pats_root):
+    from a2m.data import DataLoader
+    dl = DataLoader(path2data=pats_root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=8, window_hop=20)
+    stats = SpeakerStats.compute({'oliver': dl.train})
+    med = stats.median('oliver')
+    assert med.shape == (104,)
+    assert np.isfinite(med).all()

@@ -243,3 +243,34 @@ def test_restore_interval_shape(tmp_path):
     out = hdf5_io.load_array(fp, 'pose/data', np.float64)
     assert out.shape == (3, 104)
     np.testing.assert_array_equal(out, data.reshape(3, 104))
+
+
+def test_correlated_fixture(tmp_path):
+    from a2m.data import hdf5_io, make_synthetic_pats
+    root = make_synthetic_pats(tmp_path / 'corr', speakers=('oliver',),
+                               intervals_per_speaker=1, duration_s=10.0,
+                               correlated=True)
+    pose = hdf5_io.load_array(hdf5_io.interval_path(root, 'oliver', '100001'),
+                              'pose/data')
+    mel = hdf5_io.load_array(hdf5_io.interval_path(root, 'oliver', '100001'),
+                             'audio/log_mel_512')
+    motion = np.abs(np.diff(pose, axis=0)).mean(1)
+    energy = mel.mean(1)
+    e15 = np.interp(np.linspace(0, len(energy) - 1, len(motion)),
+                    np.arange(len(energy)), energy)
+    assert np.corrcoef(motion, e15)[0, 1] > 0.8  # learnable mapping
+
+
+def test_restore_all_intervals(tmp_path):
+    from a2m.data import hdf5_io
+    for iid in ('1', '2'):
+        fp = hdf5_io.interval_path(tmp_path, 'sp', iid)
+        hdf5_io.append(fp, 'pose/data',
+                       np.arange(3 * 2 * 52, dtype=np.float64).reshape(3, 2, 52))
+    n = hdf5_io.restore_all_intervals(tmp_path, 'sp')
+    assert n == 2
+    out = hdf5_io.load_array(hdf5_io.interval_path(tmp_path, 'sp', '1'),
+                             'pose/data', np.float64)
+    assert out.shape == (3, 104)
+    # idempotent
+    assert hdf5_io.restore_all_intervals(tmp_path, 'sp') == 0
