@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import shutil
 import subprocess
-from pathlib import Path
-
 import numpy as np
 
 from a2m.audio.mel_np import resample_poly

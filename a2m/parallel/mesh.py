@@ -19,11 +19,8 @@ TPU-native scaling story:
 from __future__ import annotations
 
 import re
-from functools import partial
-from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -14,7 +14,7 @@ Label *sampling* happens on-device from those scalars
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, field
+from dataclasses import dataclass, field
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +25,7 @@ from a2m.data import get_mean_std_necksub
 from a2m.models import Discriminator, Generator
 from a2m.train import checkpoint as ckpt_lib
 from a2m.train.controller import DynamicGANTraining
-from a2m.train.train_step import (NetState, init_states, make_train_steps,
-                                  set_lr)
+from a2m.train.train_step import init_states, make_train_steps, set_lr
 
 
 class Trainer:

@@ -20,7 +20,6 @@ Reference semantics (`version5_model_train.py:325-495`) restructured for XLA:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
