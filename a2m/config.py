@@ -57,6 +57,10 @@ class GeneratorConfig:
     joint_feat_dim: int = 64
     dropout: float = 0.2
     gat_heads: int = 4
+    # opt-in speaker-style conditioning: >0 adds a learned speaker embedding
+    # to the encoder features (the reference's Style module is a stub,
+    # model_layers.py:913-923; here it is a real capability)
+    num_style_speakers: int = 0
 
 
 @dataclass(frozen=True)
@@ -67,6 +71,10 @@ class DiscriminatorConfig:
     dropout: float = 0.3
     groups: int = 1
     aux_classes: int = 10
+    # the aux gesture-type classifier head is dead compute unless its CE
+    # loss is applied (train.lambda_aux > 0); gated off by default —
+    # the reference's head would crash if enabled (real_motion_model.py:572)
+    use_aux_classifier: bool = False
     out_shape: int = 1
     joint_feat_dim: int = 64
     gat_heads: int = 4
@@ -106,19 +114,30 @@ class TrainConfig:
     lambda_gan: float = 1.0
     lambda_smooth: float = 0.1
     lambda_jerk: float = 0.05
+    # aux gesture/speaker-classifier CE on the D's real branch
+    # (real_motion_model.py:635-640, optional there too); requires
+    # discriminator.use_aux_classifier=true
+    lambda_aux: float = 0.0
     save_dir: str = './save/multi_speaker'
     save_every_epochs: int = 1
     log_every_batches: int = 200
     resume: bool = True             # resume from latest checkpoint if present
     controller: ControllerConfig = field(default_factory=ControllerConfig)
     # precision policy: 'f32' or 'bf16' (matmul/conv compute dtype).
-    # bf16 is ~28x faster per g_step; adam's full-magnitude first step makes
-    # the wide D spike transiently (f32 recovers, bf16 can tip to NaN) —
-    # enable grad_clip_norm (e.g. 1.0) when training in bf16.
+    # bf16 is numerically stable (losses.safe_norm fixed the exact-zero
+    # gradient NaNs) and converges within 2% of f32, but is NOT faster for
+    # this model family (measured: g_step 101.8 ms bf16 vs 96.5 ms f32 at
+    # B=128 — the graph is non-MXU-bound at these channel widths), so f32
+    # is the default.
     compute_dtype: str = 'f32'
     # global-norm gradient clipping; 0 disables (reference parity: none)
     grad_clip_norm: float = 0.0
     donate_buffers: bool = True
+    # observability (SURVEY §5 tracing/profiling): measure per-step MFU once
+    # at start of training; capture a jax.profiler device trace of the first
+    # few steps into profile_dir when set
+    log_mfu: bool = True
+    profile_dir: str = ''
 
 
 @dataclass(frozen=True)

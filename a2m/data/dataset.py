@@ -312,6 +312,12 @@ class Batcher:
         items = [self.dataset[i] for i in indices]
         n = len(items)
         pad = self.batch_size - n if self.pad_to_batch else 0
+        # wrap-pad: the ragged final batch is filled by repeating its own
+        # samples (not zeros) so BatchNorm statistics inside masked train
+        # steps see only realistic rows; the mask zero-weights the repeats
+        # in every loss (reference trains ragged batches natively,
+        # version5_model_train.py:300)
+        wrap = np.arange(pad) % n if pad else None
         out: dict = {}
         for key in items[0]:
             if key == 'meta':
@@ -320,18 +326,18 @@ class Batcher:
                     for k in items[0]['meta']}
             elif key == 'idx':
                 arr = np.asarray([it['idx'] for it in items], dtype=np.int64)
-                out['idx'] = np.pad(arr, (0, pad)) if pad else arr
+                out['idx'] = (np.concatenate([arr, arr[wrap]]) if pad
+                              else arr)
             else:
                 vals = [np.asarray(it[key]) for it in items]
                 if len({v.shape for v in vals}) > 1:
                     stacked, lengths = mods.pad_ragged(vals, dim=0)
-                    out[key] = stacked
-                    out[key + '_len'] = lengths
+                    out[key + '_len'] = (np.concatenate(
+                        [lengths, lengths[wrap]]) if pad else lengths)
                 else:
                     stacked = np.stack(vals)
                 if pad:
-                    width = [(0, pad)] + [(0, 0)] * (stacked.ndim - 1)
-                    stacked = np.pad(stacked, width)
+                    stacked = np.concatenate([stacked, stacked[wrap]])
                 out[key] = stacked
         mask = np.zeros(self.batch_size if self.pad_to_batch else n,
                         dtype=np.float32)

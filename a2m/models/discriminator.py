@@ -151,16 +151,22 @@ class Discriminator(nn.Module):
         if cfg.out_shape * g == 1:
             scores = scores[..., 0]                  # (B, T_out) == (B, 4)
 
-        # auxiliary gesture-type classifier (real_motion_model.py:572-578)
-        aux_feats = conv_feats.mean(axis=1)
-        aux = nn.Dense(512, dtype=self.dtype, precision=self.precision,
-                       name='aux_fc1')(aux_feats)
-        aux = nn.leaky_relu(aux, 0.2)
-        aux = nn.Dropout(p, deterministic=not train)(aux)
-        aux_logits = nn.Dense(cfg.aux_classes, dtype=self.dtype,
-                              precision=self.precision, name='aux_fc2')(aux)
+        # auxiliary gesture-type classifier (real_motion_model.py:572-578);
+        # gated off by default — without an applied CE loss it is dead
+        # compute on every D forward (enable with use_aux_classifier +
+        # train.lambda_aux)
+        aux_logits = None
+        if cfg.use_aux_classifier:
+            aux_feats = conv_feats.mean(axis=1)
+            aux = nn.Dense(512, dtype=self.dtype, precision=self.precision,
+                           name='aux_fc1')(aux_feats)
+            aux = nn.leaky_relu(aux, 0.2)
+            aux = nn.Dropout(p, deterministic=not train)(aux)
+            aux_logits = nn.Dense(cfg.aux_classes, dtype=self.dtype,
+                                  precision=self.precision,
+                                  name='aux_fc2')(aux).astype(jnp.float32)
 
-        return scores.astype(jnp.float32), aux_logits.astype(jnp.float32)
+        return scores.astype(jnp.float32), aux_logits
 
 
 def aux_cross_entropy(aux_logits: jnp.ndarray, labels: jnp.ndarray

@@ -104,13 +104,22 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, audio, train: bool = False,
-                 time_steps: int | None = None):
+                 time_steps: int | None = None, speaker_ids=None):
         cfg = self.config
         feats = AudioEncoder(output_feats=cfg.time_steps, p=cfg.dropout,
                              base_channels=cfg.in_channels // 4,
                              dtype=self.dtype, precision=self.precision,
                              name='audio_encoder')(
             audio, time_steps=time_steps, train=train)
+        if cfg.num_style_speakers > 0:
+            # additive speaker-style bias over the encoder features — the
+            # functional form of the reference's stub Style module
+            # (model_layers.py:913-923), opt-in via num_style_speakers
+            if speaker_ids is None:
+                speaker_ids = jnp.zeros(audio.shape[0], jnp.int32)
+            style = nn.Embed(cfg.num_style_speakers, cfg.in_channels,
+                             dtype=self.dtype, name='style_emb')(speaker_ids)
+            feats = feats + style[:, None, :]
         feats = UNet1D(cfg.in_channels, cfg.out_channels, p=cfg.dropout,
                        dtype=self.dtype, precision=self.precision,
                        name='unet')(feats, train)

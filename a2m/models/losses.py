@@ -28,17 +28,31 @@ def pos_to_motion(pose: jnp.ndarray) -> jnp.ndarray:
     return pose[:, 1:] - pose[:, :-1]
 
 
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with a finite (zero) gradient at ``x == 0``.
+
+    d||x||/dx at the origin is NaN under autodiff; temporal differences of
+    generated motion *do* hit exact zeros (especially when upstream compute
+    is bf16 and quantizes nearby frames to identical values), which silently
+    NaN-poisons the whole gradient.  Double-where keeps the primal exact and
+    the cotangent zero at the origin.
+    """
+    sq = jnp.sum(jnp.square(x), axis=axis)
+    is_zero = sq == 0
+    return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
+
 def temporal_smoothness_loss(motion: jnp.ndarray) -> jnp.ndarray:
     """Mean L2 norm of acceleration (version5_model_train.py:216-230)."""
     accel = motion[:, 1:] - motion[:, :-1]
-    return jnp.mean(jnp.linalg.norm(accel, axis=-1))
+    return jnp.mean(safe_norm(accel, axis=-1))
 
 
 def jerk_loss(motion: jnp.ndarray) -> jnp.ndarray:
     """Mean L2 norm of jerk (version5_model_train.py:233-248)."""
     accel = motion[:, 1:] - motion[:, :-1]
     jerk = accel[:, 1:] - accel[:, :-1]
-    return jnp.mean(jnp.linalg.norm(jerk, axis=-1))
+    return jnp.mean(safe_norm(jerk, axis=-1))
 
 
 def to_joints(pose: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +80,7 @@ def bone_lengths(pose: jnp.ndarray) -> jnp.ndarray:
     child, parent = _bone_indices()
     joints = to_joints(pose)[..., constants.JOINT_SUBSET, :]  # (B,T,49,2)
     vec = joints[..., child, :] - joints[..., parent, :]
-    lengths = jnp.linalg.norm(vec, axis=-1)                   # (B, T, n_bones)
+    lengths = safe_norm(vec, axis=-1)                         # (B, T, n_bones)
     return lengths.mean(axis=1)
 
 
@@ -89,7 +103,12 @@ def _signed_angles(joints: jnp.ndarray, triples: np.ndarray) -> jnp.ndarray:
     dot = jnp.sum(vec_pj * vec_jc, axis=-1)
     cross = (vec_pj[..., 0] * vec_jc[..., 1]
              - vec_pj[..., 1] * vec_jc[..., 0])
-    return jnp.arctan2(cross, dot)
+    # grad(atan2) divides by cross^2 + dot^2 — NaN when a limb degenerates
+    # to a point (both vectors zero).  Substitute dot=1 there: angle 0,
+    # gradient 0 (double-where), primal unchanged elsewhere.
+    degen = (dot == 0) & (cross == 0)
+    return jnp.where(degen, 0.0,
+                     jnp.arctan2(cross, jnp.where(degen, 1.0, dot)))
 
 
 def hand_joint_angle_loss(gen_pose: jnp.ndarray) -> jnp.ndarray:

@@ -137,18 +137,29 @@ def make_sharded_train_steps(g_model, d_model, train_cfg, mesh: Mesh,
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
 
-    def wrap(fn, n_state_args: int, n_batch_args: int, n_scalar: int):
+    def wrap(fn, n_state_args: int, n_batch_args: int, n_scalar: int,
+             n_trailing_batch: int = 0):
         # states: keep caller-placed shardings (replicated or TP-ruled);
-        # batch arrays: data-sharded; scalars: replicated
+        # batch arrays: data-sharded; scalars: replicated; trailing
+        # optional style/mask: data-sharded ((B,) arrays; None args carry
+        # no leaves so the spec is inert when omitted)
         in_sh = ((None,) * n_state_args + (bs,) * n_batch_args
-                 + (rep,) * n_scalar)
+                 + (rep,) * n_scalar + (bs,) * n_trailing_batch)
         return jax.jit(fn, in_shardings=in_sh)
 
-    # g_step(g_state, d_state, audio, pose, mean, std, smooth, noise, key)
-    g_sharded = wrap(g_step, 2, 2, 5)
-    # d_step(g_state, d_state, audio, pose, mean, std, sr, sf, noise, key)
-    d_sharded = wrap(d_step, 2, 2, 6)
-    # eval(g_state, d_state, audio, pose, mean, std, mask)
+    def g_full(g_state, d_state, audio, pose, mean, std, smooth, noise,
+               key, style=None, mask=None):
+        return g_step(g_state, d_state, audio, pose, mean, std, smooth,
+                      noise, key, style=style, mask=mask)
+
+    def d_full(g_state, d_state, audio, pose, mean, std, sr, sf, noise,
+               key, style=None, mask=None):
+        return d_step(g_state, d_state, audio, pose, mean, std, sr, sf,
+                      noise, key, style=style, mask=mask)
+
+    g_sharded = wrap(g_full, 2, 2, 5, 2)
+    d_sharded = wrap(d_full, 2, 2, 6, 2)
+    # eval(g_state, d_state, audio, pose, mean, std, mask, style)
     eval_sharded = jax.jit(eval_step, in_shardings=(
-        None, None, bs, bs, rep, rep, bs))
+        None, None, bs, bs, rep, rep, bs, bs))
     return g_sharded, d_sharded, eval_sharded

@@ -66,6 +66,8 @@ class Trainer:
         self.ckpt = ckpt_lib.CheckpointManager(
             Path(cfg.train.save_dir) / 'ckpt')
         self.start_epoch = 0
+        self._mfu_done = not cfg.train.log_mfu
+        self._mfu_times: dict[str, list] = {'g': [], 'd': []}
         self.loss_history: dict[str, list] = dict(
             train_g=[], train_d=[], val_g=[], val_d=[])
 
@@ -88,6 +90,45 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _mfu_report(self, g_args, d_args, style, mask):
+        """Log per-step MFU once, from timings of the live training steps.
+
+        Timings come from instrumented *real* step calls (donation-safe —
+        nothing is replayed on stale state); FLOPs come from XLA's
+        client-side HLO cost analysis (no extra compile).  The reference has
+        no perf accounting at all (SURVEY §5).
+        """
+        import numpy as _np
+        from a2m.utils import mfu as mfu_lib
+        self._mfu_done = True
+        dtype = self.cfg.train.compute_dtype
+        # first sample of each phase includes the compile — drop it
+        g_s = float(_np.median(self._mfu_times['g'][1:]
+                               or self._mfu_times['g']))
+        g_fl = mfu_lib.compiled_flops(self.g_step, *g_args, style=style,
+                                      mask=mask)
+        self.log(mfu_lib.format_mfu_line('g_step', g_fl, g_s, dtype))
+        b = g_args[2].shape[0]
+        line = f'throughput: {b / g_s:.0f} samples/s (g)'
+        if self._mfu_times['d']:
+            d_s = float(_np.median(self._mfu_times['d'][1:]
+                                   or self._mfu_times['d']))
+            d_fl = mfu_lib.compiled_flops(self.d_step, *d_args, style=style,
+                                          mask=mask)
+            self.log(mfu_lib.format_mfu_line('d_step', d_fl, d_s, dtype))
+            line += f', {b / d_s:.0f} samples/s (d)'
+        self.log(line)
+
+    def _style_ids(self, batch):
+        """(B,) int32 speaker ids when style conditioning / aux CE is on."""
+        if (self.cfg.generator.num_style_speakers <= 0
+                and self.cfg.train.lambda_aux <= 0):
+            return None
+        style = np.asarray(batch['style'])
+        if style.ndim > 1:
+            style = style[:, 0]
+        return jnp.asarray(style.astype(np.int32))
+
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         cfg = self.cfg
         ctrl = self.controller
@@ -103,27 +144,59 @@ class Trainer:
         last_g = last_d = 0.0
         n_batches = 0
         for i, batch in enumerate(self.dataloader.train):
-            if batch['mask'].min() == 0:
-                continue  # drop ragged final batch in training (static jit)
             audio = jnp.asarray(batch['audio/log_mel_512'])
             pose = jnp.asarray(batch['pose/data'])
+            style = self._style_ids(batch)
+            # always pass the mask (all-ones == plain mean) so full and
+            # wrap-padded ragged batches share ONE compiled step
+            mask = jnp.asarray(batch['mask'])
+
+            measuring = not self._mfu_done
+            tracing = (measuring and self.cfg.train.profile_dir and i == 2)
+            if tracing:
+                jax.profiler.start_trace(self.cfg.train.profile_dir)
 
             for _ in range(g_freq):
+                t0 = time.perf_counter()
                 self.g_state, new_d_bs, gm = self.g_step(
                     self.g_state, self.d_state, audio, pose, self.mean,
                     self.std, real_lp.smooth_real, real_lp.noise_std,
-                    self._next_key())
+                    self._next_key(), style=style, mask=mask)
                 self.d_state = self.d_state._replace(batch_stats=new_d_bs)
+                if measuring:
+                    # d2h sync: block_until_ready does not synchronize on
+                    # remote-tunnel backends (round-1 gotcha)
+                    float(gm['g_loss'])
+                    self._mfu_times['g'].append(time.perf_counter() - t0)
             last_g = float(gm['g_loss'])
 
             if ctrl.should_train_discriminator():
                 for _ in range(d_freq):
+                    t0 = time.perf_counter()
                     self.d_state, self.g_state, dm = self.d_step(
                         self.g_state, self.d_state, audio, pose, self.mean,
                         self.std, real_lp.smooth_real, fake_lp.smooth_fake,
-                        real_lp.noise_std, self._next_key())
+                        real_lp.noise_std, self._next_key(), style=style,
+                        mask=mask)
+                    if measuring:
+                        float(dm['d_loss'])
+                        self._mfu_times['d'].append(time.perf_counter() - t0)
                 last_d = float(dm['d_loss'])
             # else: reuse last_d (reference version5_model_train.py:407-411)
+
+            if tracing:
+                jax.profiler.stop_trace()
+                self.log(f'device trace -> {self.cfg.train.profile_dir}')
+            min_batch = 2 if self.cfg.train.profile_dir else 1
+            if (measuring and i >= min_batch
+                    and len(self._mfu_times['g']) >= 2):
+                g_args = (self.g_state, self.d_state, audio, pose, self.mean,
+                          self.std, real_lp.smooth_real, real_lp.noise_std,
+                          self.key)
+                d_args = (self.g_state, self.d_state, audio, pose, self.mean,
+                          self.std, real_lp.smooth_real, fake_lp.smooth_fake,
+                          real_lp.noise_std, self.key)
+                self._mfu_report(g_args, d_args, style, mask)
 
             ctrl.update_loss_history(last_d, last_g)
             n_batches += 1
@@ -145,7 +218,8 @@ class Trainer:
             pose = jnp.asarray(batch['pose/data'])
             mask = jnp.asarray(batch['mask'])
             metrics = self.eval_step(self.g_state, self.d_state, audio, pose,
-                                     self.mean, self.std, mask)
+                                     self.mean, self.std, mask,
+                                     style=self._style_ids(batch))
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             steps += 1

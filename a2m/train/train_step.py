@@ -97,14 +97,16 @@ def smooth_labels(key, batch_size: int, out_dim: int, smooth: jnp.ndarray,
     return jnp.clip(noisy, 0.0, 0.15)
 
 
-def _apply_g(g_model, params, batch_stats, audio, key, train):
+def _apply_g(g_model, params, batch_stats, audio, key, train,
+             speaker_ids=None):
     variables = {'params': params, 'batch_stats': batch_stats}
     if train:
         out, mutated = g_model.apply(
             variables, audio, train=True, rngs={'dropout': key},
-            mutable=['batch_stats'])
+            mutable=['batch_stats'], speaker_ids=speaker_ids)
         return out, mutated['batch_stats']
-    return g_model.apply(variables, audio, train=False), batch_stats
+    return (g_model.apply(variables, audio, train=False,
+                          speaker_ids=speaker_ids), batch_stats)
 
 
 def _apply_d(d_model, params, batch_stats, motion, key, train):
@@ -140,13 +142,20 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
 
     g_tx = make_optimizer(cfg.controller.g_lr, cfg.grad_clip_norm)
     d_tx = make_optimizer(cfg.controller.d_lr, cfg.grad_clip_norm)
+    if cfg.lambda_aux > 0:
+        assert d_model.config.use_aux_classifier, (
+            'train.lambda_aux > 0 requires discriminator.use_aux_classifier')
 
     def g_step(g_state: NetState, d_state: NetState, audio, pose,
-               mean, std, smooth, noise_std, key):
+               mean, std, smooth, noise_std, key, style=None, mask=None):
         """One generator update (version5_model_train.py:350-379).
 
         Returns (new_g_state, new_d_batch_stats, metrics).  D's running BN
         stats update because its forward runs in train mode, matching torch.
+        ``style``: optional (B,) int32 speaker ids for style conditioning.
+        ``mask``: optional (B,) 1/0 weights — wrap-padded final-batch rows
+        are zero-weighted so ragged batches train exactly like the
+        reference's (version5_model_train.py:300) without recompiling.
         """
         k_label, k_gdrop, k_ddrop = jax.random.split(key, 3)
         real_pose = normalize_pose_device(pose, mean, std)
@@ -157,17 +166,25 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         def loss_fn(g_params):
             fake_pose, new_g_bs = _apply_g(g_model, g_params,
                                            g_state.batch_stats, audio,
-                                           k_gdrop, True)
+                                           k_gdrop, True, speaker_ids=style)
             fake_motion = L.pos_to_motion(fake_pose)
             fake_d, _, new_d_bs = _apply_d(d_model, d_state.params,
                                            d_state.batch_stats, fake_motion,
                                            k_ddrop, True)
-            g_loss = (L.l1_loss(real_motion, fake_motion)
-                      + cfg.lambda_gan * L.mse_loss(fake_d, valid))
-            smooth_l = L.temporal_smoothness_loss(fake_motion)
-            jerk_l = L.jerk_loss(fake_motion)
-            bone_l = L.bone_length_loss(real_pose, fake_pose)
-            angle_l = L.comprehensive_angle_loss(fake_pose)
+
+            def mm(x):  # per-sample -> (masked) batch mean
+                return L.masked_mean(x, mask)
+
+            g_loss = (mm(jnp.abs(real_motion - fake_motion))
+                      + cfg.lambda_gan * mm((fake_d - valid) ** 2))
+            accel = fake_motion[:, 1:] - fake_motion[:, :-1]
+            jerk = accel[:, 1:] - accel[:, :-1]
+            smooth_l = mm(L.safe_norm(accel, axis=-1))
+            jerk_l = mm(L.safe_norm(jerk, axis=-1))
+            bone_l = mm((L.bone_lengths(fake_pose)
+                         - L.bone_lengths(real_pose)) ** 2)
+            angle_l = mm(0.7 * _per_sample_angles(fake_pose, hand=True)
+                         + 0.3 * _per_sample_angles(fake_pose, hand=False))
             total = (g_loss + cfg.lambda_smooth * smooth_l
                      + cfg.lambda_jerk * jerk_l + bone_l + angle_l)
             metrics = dict(g_loss=total, g_gan=g_loss, smooth=smooth_l,
@@ -182,8 +199,15 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         return (NetState(new_params, new_g_bs, new_opt), new_d_bs, metrics)
 
     def d_step(g_state: NetState, d_state: NetState, audio, pose,
-               mean, std, smooth_r, smooth_f, noise_std, key):
-        """One discriminator update (version5_model_train.py:385-405)."""
+               mean, std, smooth_r, smooth_f, noise_std, key, style=None,
+               mask=None):
+        """One discriminator update (version5_model_train.py:385-405).
+
+        With ``cfg.lambda_aux > 0`` and ``style`` labels, the aux
+        classifier CE on the real branch is added
+        (real_motion_model.py:635-640 — optional there too).
+        ``mask``: see :func:`g_step`.
+        """
         k_lr, k_lf, k_gdrop, k_d1, k_d2 = jax.random.split(key, 5)
         real_pose = normalize_pose_device(pose, mean, std)
         real_motion = L.pos_to_motion(real_pose)
@@ -195,18 +219,29 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         # no-grad G forward in train mode (version5_model_train.py:391-393)
         fake_pose, new_g_bs = _apply_g(g_model, g_state.params,
                                        g_state.batch_stats, audio, k_gdrop,
-                                       True)
+                                       True, speaker_ids=style)
         fake_motion = jax.lax.stop_gradient(L.pos_to_motion(fake_pose))
 
         def loss_fn(d_params):
             fake_d, _, bs1 = _apply_d(d_model, d_params, d_state.batch_stats,
                                       fake_motion, k_d1, True)
-            real_d, _, bs2 = _apply_d(d_model, d_params, bs1, real_motion,
-                                      k_d2, True)
-            real_loss = L.mse_loss(real_d, valid)
-            fake_loss = L.mse_loss(fake_d, fake)
+            real_d, aux_real, bs2 = _apply_d(d_model, d_params, bs1,
+                                             real_motion, k_d2, True)
+
+            def mm(x):
+                return L.masked_mean(x, mask)
+
+            real_loss = mm((real_d - valid) ** 2)
+            fake_loss = mm((fake_d - fake) ** 2)
             total = real_loss + cfg.lambda_d * fake_loss
             metrics = dict(d_loss=total, d_real=real_loss, d_fake=fake_loss)
+            if cfg.lambda_aux > 0 and style is not None:
+                logp = jax.nn.log_softmax(aux_real, axis=-1)
+                onehot = jax.nn.one_hot(style, aux_real.shape[-1],
+                                        dtype=aux_real.dtype)
+                aux_l = mm(-(onehot * logp).sum(axis=-1))
+                total = total + cfg.lambda_aux * aux_l
+                metrics = dict(metrics, d_loss=total, d_aux=aux_l)
             return total, (bs2, metrics)
 
         grads, (new_d_bs, metrics) = jax.grad(loss_fn, has_aux=True)(
@@ -218,14 +253,14 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                 g_state._replace(batch_stats=new_g_bs), metrics)
 
     def eval_step(g_state: NetState, d_state: NetState, audio, pose,
-                  mean, std, mask):
+                  mean, std, mask, style=None):
         """Validation pass with the reference's loss breakdown
         (version5_model_train.py:425-495); eval mode, hard 1/0 labels,
         masked means over the padded final batch."""
         real_pose = normalize_pose_device(pose, mean, std)
         real_motion = L.pos_to_motion(real_pose)
         fake_pose, _ = _apply_g(g_model, g_state.params, g_state.batch_stats,
-                                audio, None, False)
+                                audio, None, False, speaker_ids=style)
         fake_motion = L.pos_to_motion(fake_pose)
         fake_d, _, _ = _apply_d(d_model, d_state.params, d_state.batch_stats,
                                 fake_motion, None, False)

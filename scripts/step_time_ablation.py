@@ -1,0 +1,97 @@
+"""Train-step hotspot ablation on the real TPU.
+
+Times g_step/d_step under controlled variations (dtype, dropout on/off,
+RNG implementation) with per-step blocking, and prints one JSON line per
+variant.  Used to find and verify the top hotspot for the README MFU table
+(VERDICT r1 #4).
+
+Usage:  python scripts/step_time_ablation.py [variant ...]
+Variants: f32 bf16 f32_nodrop bf16_nodrop f32_rbg bf16_rbg
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run_variant(name: str) -> dict:
+    import jax
+    if name.endswith('_rbg'):
+        jax.config.update('jax_default_prng_impl', 'rbg')
+    else:
+        jax.config.update('jax_default_prng_impl', 'threefry2x32')
+    import jax.numpy as jnp
+    from a2m.config import (DiscriminatorConfig, GeneratorConfig,
+                            TrainConfig)
+    from a2m.models import Discriminator, Generator
+    from a2m.train.train_step import init_states, make_train_steps
+    from a2m.utils import mfu as mfu_lib
+
+    dtype_s = 'bf16' if name.startswith('bf16') else 'f32'
+    dt = jnp.bfloat16 if dtype_s == 'bf16' else jnp.float32
+    drop = 0.0 if 'nodrop' in name else None
+    g_cfg = GeneratorConfig(**({'dropout': drop} if drop is not None else {}))
+    d_cfg = DiscriminatorConfig(
+        **({'dropout': drop} if drop is not None else {}))
+    g_model = Generator(g_cfg, dtype=dt)
+    d_model = Discriminator(d_cfg, dtype=dt)
+    batch = 128
+    gs, ds = init_states(g_model, d_model, jax.random.PRNGKey(0),
+                         batch_size=batch)
+    g_step, d_step, _ = make_train_steps(g_model, d_model, TrainConfig(),
+                                         donate=False)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, 64, 128)), jnp.float32)
+    pose = jnp.asarray(rng.standard_normal((batch, 64, 104)) * 10 + 300,
+                       jnp.float32)
+    mean, std = jnp.zeros(104), jnp.ones(104)
+    key = jax.random.PRNGKey(1)
+
+    # block_until_ready does NOT synchronize on the axon tunnel backend —
+    # only a d2h transfer (float()) does.  Thread states through the loop
+    # (true data dependency) and sync via float() on the final metric:
+    # wall / n == sustained per-step time, the number training achieves.
+    def timed_g(n=30):
+        g, nd, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01, key)
+        float(gm['g_loss'])              # compile + drain
+        t0 = time.perf_counter()
+        for _ in range(n):
+            g, nd, gm = g_step(g, ds, audio, pose, mean, std, 0.93, 0.01,
+                               key)
+        float(gm['g_loss'])
+        return (time.perf_counter() - t0) / n
+
+    def timed_d(n=30):
+        d, g2, dm = d_step(gs, ds, audio, pose, mean, std, 0.93, 0.07, 0.01,
+                           key)
+        float(dm['d_loss'])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            d, g2, dm = d_step(gs, d, audio, pose, mean, std, 0.93, 0.07,
+                               0.01, key)
+        float(dm['d_loss'])
+        return (time.perf_counter() - t0) / n
+
+    g_s = timed_g()
+    d_s = timed_d()
+    g_fl = mfu_lib.compiled_flops(g_step, gs, ds, audio, pose, mean, std,
+                                  0.93, 0.01, key)
+    return dict(variant=name, batch=batch,
+                g_ms=round(g_s * 1e3, 1), d_ms=round(d_s * 1e3, 1),
+                g_tflop=round((g_fl or 0) / 1e12, 2),
+                g_mfu_pct=round(100 * mfu_lib.mfu(g_fl or 0, g_s, dtype_s),
+                                1),
+                samples_per_s=round(batch / (g_s + d_s)))
+
+
+if __name__ == '__main__':
+    variants = sys.argv[1:] or ['f32']
+    for v in variants:
+        print(json.dumps(run_variant(v)), flush=True)

@@ -87,6 +87,32 @@ def test_comprehensive_angle_weighting(rng):
     assert total == pytest.approx(0.7 * hand + 0.3 * body, rel=1e-5)
 
 
+def test_loss_gradients_finite_at_degenerate_poses(rng):
+    """d||x||/dx and grad(atan2) NaN at exact zeros — constant/degenerate
+    poses (bf16 quantization produces them) must still give finite grads."""
+    const_pose = jnp.ones((2, 8, 104), jnp.float32) * 5.0   # zero motion,
+    real = jnp.asarray(rng.standard_normal((2, 8, 104)), jnp.float32)
+
+    def total(pose):
+        motion = L.pos_to_motion(pose)
+        return (L.temporal_smoothness_loss(motion) + L.jerk_loss(motion)
+                + L.bone_length_loss(real, pose)
+                + L.comprehensive_angle_loss(pose))
+
+    g_const = jax.grad(total)(const_pose)
+    assert np.isfinite(np.asarray(g_const)).all()
+    # all joints coincident -> zero bones AND degenerate angles
+    g_zero = jax.grad(total)(jnp.zeros((2, 8, 104), jnp.float32))
+    assert np.isfinite(np.asarray(g_zero)).all()
+    # primal values unchanged where non-degenerate
+    normal = jnp.asarray(rng.standard_normal((2, 8, 104)) * 10, jnp.float32)
+    motion = L.pos_to_motion(normal)
+    golden = np.linalg.norm(np.diff(np.asarray(motion), axis=1),
+                            axis=-1).mean()
+    np.testing.assert_allclose(float(L.temporal_smoothness_loss(motion)),
+                               golden, rtol=1e-5)
+
+
 def test_masked_mean():
     x = jnp.asarray([[1.0, 1.0], [5.0, 5.0], [9.0, 9.0]])
     mask = jnp.asarray([1.0, 1.0, 0.0])
@@ -151,12 +177,73 @@ def test_generator_block_layout_heads(gen_and_vars, rng):
 # discriminator
 # ---------------------------------------------------------------------------
 
+def test_generator_style_conditioning(rng):
+    """Opt-in speaker-style embedding: different ids -> different poses
+    (the reference's Style module is a stub; model_layers.py:913-923)."""
+    import dataclasses
+    g = Generator(dataclasses.replace(TINY_G, num_style_speakers=4))
+    audio = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    ids_a = jnp.asarray([0, 1], jnp.int32)
+    variables = g.init({'params': KEY, 'dropout': KEY}, audio,
+                       speaker_ids=ids_a)
+    assert 'style_emb' in variables['params']
+    out_a = g.apply(variables, audio, speaker_ids=ids_a)
+    out_b = g.apply(variables, audio, speaker_ids=jnp.asarray([2, 3]))
+    assert float(jnp.abs(out_a - out_b).max()) > 0
+    # default config: no style params, speaker_ids ignored
+    g0 = Generator(TINY_G)
+    v0 = g0.init({'params': KEY, 'dropout': KEY}, audio)
+    assert 'style_emb' not in v0['params']
+
+
+def test_discriminator_aux_gating(rng):
+    """use_aux_classifier=False (default) skips the head entirely; True
+    restores the reference capability (real_motion_model.py:572-578)."""
+    import dataclasses
+    motion = jnp.asarray(rng.standard_normal((2, 63, 104)), jnp.float32)
+    d_off = Discriminator(TINY_D)
+    v_off = d_off.init({'params': KEY, 'dropout': KEY}, motion)
+    scores, aux = d_off.apply(v_off, motion)
+    assert aux is None
+    assert 'aux_fc1' not in v_off['params']
+    d_on = Discriminator(dataclasses.replace(TINY_D,
+                                             use_aux_classifier=True))
+    v_on = d_on.init({'params': KEY, 'dropout': KEY}, motion)
+    scores, aux = d_on.apply(v_on, motion)
+    assert aux.shape == (2, TINY_D.aux_classes)
+
+
+def test_d_step_aux_cross_entropy(rng):
+    """lambda_aux > 0 + style labels adds the aux CE to the D loss."""
+    import dataclasses
+    from a2m.config import TrainConfig
+    from a2m.train.train_step import init_states, make_train_steps
+    d_cfg = dataclasses.replace(TINY_D, use_aux_classifier=True,
+                                aux_classes=4)
+    g_model, d_model = Generator(TINY_G), Discriminator(d_cfg)
+    g_state, d_state = init_states(g_model, d_model, jax.random.PRNGKey(0),
+                                   batch_size=4)
+    cfg = TrainConfig(lambda_aux=0.5)
+    _, d_step, _ = make_train_steps(g_model, d_model, cfg, donate=False)
+    audio = jnp.asarray(rng.standard_normal((4, 64, 128)), jnp.float32)
+    pose = jnp.asarray(rng.standard_normal((4, 64, 104)) * 10 + 300,
+                       jnp.float32)
+    style = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    _, _, dm = d_step(g_state, d_state, audio, pose, jnp.zeros(104),
+                      jnp.ones(104), 0.93, 0.07, 0.01, jax.random.PRNGKey(1),
+                      style, jnp.ones(4))
+    assert 'd_aux' in dm and np.isfinite(float(dm['d_aux']))
+    assert float(dm['d_loss']) == pytest.approx(
+        float(dm['d_real']) + cfg.lambda_d * float(dm['d_fake'])
+        + 0.5 * float(dm['d_aux']), rel=1e-5)
+
+
 def test_discriminator_output_shape(disc_and_vars, rng):
     d, variables = disc_and_vars
     motion = jnp.asarray(rng.standard_normal((2, 63, 104)), jnp.float32)
     scores, aux = d.apply(variables, motion)
     assert scores.shape == (2, 4)   # reference (B, 4) shape trace
-    assert aux.shape == (2, TINY_D.aux_classes)
+    assert aux is None              # aux head gated off by default
 
 
 def test_discriminator_tiny_time_padding(disc_and_vars, rng):
