@@ -137,12 +137,14 @@ def pallas_log_mel(y: jnp.ndarray, spec: fe.MelSpec, exact: bool = False,
                               n_frames=n_frames)[0]
     assert y.ndim == 2, 'pallas_log_mel expects (B, N) or (N,)'
 
-    # choose K tile: whole-K for small specs, 384-tiles for n_fft=2048
+    # choose K tile: whole-K for small specs; for n_fft=2048 stream K-tiles
+    # (128 in exact mode keeps the 4 hi/lo DFT blocks + double-buffering
+    # within VMEM; 256 otherwise)
     K = spec.n_fft // 2 + 1
-    if exact and spec.n_fft > 512:
-        raise ValueError('exact pallas mode requires n_fft <= 512 (VMEM); '
-                         'use a2m.audio.frontend.log_mel for exact parity')
-    k_tile = _round_up(K, 128) if spec.n_fft <= 512 else 256
+    if spec.n_fft <= 512:
+        k_tile = _round_up(K, 128)
+    else:
+        k_tile = 128 if exact else 256
     mats = _padded_matrices(spec, k_tile, exact)
     frame_len, k_pad, m_pad = mats['frame_len'], mats['k_pad'], mats['m_pad']
     n_k = k_pad // k_tile
@@ -230,8 +232,9 @@ def pallas_log_mel(y: jnp.ndarray, spec: fe.MelSpec, exact: bool = False,
     return out[:, :n_frames, :spec.n_mels]
 
 
-def pallas_log_mel_512(y: jnp.ndarray, sr: int) -> jnp.ndarray:
-    return pallas_log_mel(y, fe.spec_log_mel_512(sr), exact=False)
+def pallas_log_mel_512(y: jnp.ndarray, sr: int,
+                       exact: bool = False) -> jnp.ndarray:
+    return pallas_log_mel(y, fe.spec_log_mel_512(sr), exact=exact)
 
 
 def pallas_log_mel_400(y: jnp.ndarray, exact: bool = True) -> jnp.ndarray:

@@ -138,25 +138,47 @@ class Skeleton2D(Modality):
 
 class Audio(Modality):
     """Audio modality: log-mel feature extraction + silence channel
-    (reference audio.py:26-190), routed to the TPU frontends."""
+    (reference audio.py:26-190), routed to the TPU frontends.
+
+    ``use_pallas`` (config ``audio.use_pallas``): route extraction through
+    the fused Pallas kernel.  ``None`` = auto: Pallas on a real TPU backend,
+    XLA elsewhere (interpret-mode Pallas on CPU is orders slower).
+    """
 
     def __init__(self, path2data='../data', path2outdata=None,
-                 speaker='oliver', preprocess_methods=('log_mel_512',)):
+                 speaker='oliver', preprocess_methods=('log_mel_512',),
+                 use_pallas: bool | None = None):
         super().__init__(path2data, path2outdata, speaker, preprocess_methods)
+        self.use_pallas = use_pallas
+
+    def _pallas_active(self) -> bool:
+        import jax
+        if self.use_pallas is None:
+            return jax.default_backend() == 'tpu'
+        return bool(self.use_pallas)
 
     # feature extractors ------------------------------------------------------
 
     def log_mel_512(self, y: np.ndarray, sr: int, eps: float = 1e-10
                     ) -> np.ndarray:
+        y32 = np.asarray(y, dtype=np.float32)
+        if self._pallas_active():
+            from a2m.audio.pallas_mel import pallas_log_mel_512
+            return np.asarray(pallas_log_mel_512(y32, int(sr), exact=True))
         from a2m.audio import frontend
-        return np.asarray(frontend.log_mel_512(
-            np.asarray(y, dtype=np.float32), int(sr)))
+        return np.asarray(frontend.log_mel_512(y32, int(sr)))
 
     def log_mel_400(self, y: np.ndarray, sr: int, eps: float = 1e-6
                     ) -> np.ndarray:
-        from a2m.audio import frontend, mel_np
+        from a2m.audio import mel_np
         y16 = mel_np.resample_poly(np.asarray(y, dtype=np.float64), int(sr),
                                    16000).astype(np.float32)
+        if self._pallas_active():
+            from a2m.audio.pallas_mel import pallas_log_mel_400
+            return np.asarray(pallas_log_mel_400(y16[None], exact=True)[0]
+                              if y16.ndim == 1 else
+                              pallas_log_mel_400(y16, exact=True))
+        from a2m.audio import frontend
         return np.asarray(frontend.log_mel_400(y16))
 
     def silence(self, y: np.ndarray, sr: int, eps: float = 1e-6
@@ -200,13 +222,18 @@ MOD_MAP = {'pose': Skeleton2D, 'audio': Audio, 'text': Text}
 
 
 def load_modality_classes(modalities: Iterable[str], path2data,
-                          speaker) -> dict[str, Modality]:
+                          speaker,
+                          use_pallas: bool | None = None
+                          ) -> dict[str, Modality]:
     """modality string -> instantiated modality class (reference
-    dataUtils.py:159-174)."""
+    dataUtils.py:159-174).  ``use_pallas`` reaches the Audio frontends
+    (config ``audio.use_pallas``)."""
     out = {}
     for modality in modalities:
         mod = modality.split('/')[0]
-        out[modality] = MOD_MAP[mod](path2data=path2data, speaker=speaker)
+        kwargs = {'use_pallas': use_pallas} if mod == 'audio' else {}
+        out[modality] = MOD_MAP[mod](path2data=path2data, speaker=speaker,
+                                     **kwargs)
     return out
 
 

@@ -173,10 +173,103 @@ def test_pallas_log_mel_400_exact_parity(clip, clip16):
     assert np.abs(g[:n] - p[:n]).max() < PARITY_TOL
 
 
-def test_pallas_rejects_exact_large_fft(clip):
-    with pytest.raises(ValueError):
-        pallas_mel.pallas_log_mel(clip.astype(np.float32)[None],
-                                  frontend.spec_log_mel_512(SR), exact=True)
+def test_pallas_512_exact_parity(clip):
+    """Exact mode now covers n_fft=2048 by streaming 128-wide K-tiles of
+    the hi/lo DFT pairs (VERDICT r1 #3).  Short clip: interpret mode."""
+    short = clip[:SR]                       # 1 s keeps CPU interpret fast
+    g = mel_np.log_mel_512(short, SR)
+    p = np.asarray(pallas_mel.pallas_log_mel_512(
+        short.astype(np.float32)[None], SR, exact=True))[0]
+    n = min(len(g), len(p))
+    assert np.abs(g[:n] - p[:n]).max() < PARITY_TOL
+
+
+# ---------------------------------------------------------------------------
+# VAD: GMM (host preprocessing) vs energy (on-device) decision fixtures
+# ---------------------------------------------------------------------------
+
+def _speech_like(seconds=4.0, sr=16000, seed=0):
+    """Synthetic speech-like fixture with known voiced/silent windows:
+    harmonic bursts with pitch glide + amplitude modulation over a -50 dB
+    noise floor.  Returns (y, voiced) with voiced (n_15hz_windows,) truth."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    # voiced in [0.5, 1.5) and [2.2, 3.4)
+    voiced_mask = ((t >= 0.5) & (t < 1.5)) | ((t >= 2.2) & (t < 3.4))
+    f0 = 120 + 30 * np.sin(2 * np.pi * 0.7 * t)
+    y = np.zeros(n)
+    for h in (1, 2, 3, 4):
+        y += np.sin(2 * np.pi * h * np.cumsum(f0) / sr) / h
+    y *= voiced_mask * (0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * t))
+    y += rng.standard_normal(n) * 3e-3
+    step = sr / 15
+    ranges = np.arange(0, n, step)
+    truth = np.array([voiced_mask[int(s):int(e)].mean() > 0.5
+                      for s, e in zip(ranges[:-1], ranges[1:])])
+    return y.astype(np.float64), truth
+
+
+def test_gmm_vad_matches_ground_truth():
+    """The GMM VAD (webrtcvad stand-in) recovers the known voiced windows."""
+    from a2m.audio import vad
+    y, truth = _speech_like()
+    stream = vad.silence_stream(y.astype(np.float32))
+    assert stream.shape == (2 * len(truth),)
+    assert (stream[1::2] == 0).all()        # interleaved trailing zeros
+    silent = stream[0::2].astype(bool)
+    acc = (silent == ~truth).mean()
+    assert acc >= 0.9, f'GMM VAD accuracy {acc:.2f} vs ground truth'
+
+
+def test_energy_vad_vs_gmm_vad_agreement():
+    """Bound the documented deviation: the jittable energy VAD's decisions
+    vs the GMM VAD on the speech-like fixture (PARITY.md records this)."""
+    from a2m.audio import vad
+    y, truth = _speech_like()
+    gmm = vad.silence_stream(y.astype(np.float32))[0::2].astype(bool)
+    energy = np.asarray(frontend.silence_mask(
+        y.astype(np.float32)))[0::2].astype(bool)
+    n = min(len(gmm), len(energy))
+    agree = (gmm[:n] == energy[:n]).mean()
+    acc_energy = (energy[:len(truth)] == ~truth[:len(energy)]).mean()
+    assert agree >= 0.85, f'energy-vs-GMM agreement {agree:.2f}'
+    assert acc_energy >= 0.85, f'energy VAD accuracy {acc_energy:.2f}'
+
+
+# ---------------------------------------------------------------------------
+# resampler drift bound (scipy polyphase vs ideal band-limited golden)
+# ---------------------------------------------------------------------------
+
+def test_resample_drift_through_log_mel_400():
+    """Quantify the resampler's contribution to feature drift: polyphase
+    FIR vs an ideal FFT (band-limited sinc) resample of band-limited noise,
+    both through log_mel_400.  librosa (unavailable here) is also a
+    windowed-sinc polyphase resampler, so this bounds the same class of
+    deviation (PARITY.md records the number)."""
+    rng = np.random.default_rng(7)
+    sr, dur = 45600, 2.0
+    n = int(sr * dur)
+    # band-limit white noise to < 7.6 kHz so 16 kHz resampling is alias-free
+    spec = np.fft.rfft(rng.standard_normal(n))
+    freqs = np.fft.rfftfreq(n, 1 / sr)
+    spec[freqs > 7600] = 0.0
+    y = np.fft.irfft(spec, n)
+    y *= 0.1 / np.abs(y).max()
+
+    poly = mel_np.resample_poly(y, sr, 16000)
+    n16 = int(len(y) * 16000 / sr)
+    ideal = np.fft.irfft(np.fft.rfft(y)[:n16 // 2 + 1], n16) * (16000 / sr)
+
+    m_poly = mel_np.log_mel_400(poly[:len(ideal)].astype(np.float64), 16000)
+    m_ideal = mel_np.log_mel_400(ideal.astype(np.float64), 16000)
+    t = min(len(m_poly), len(m_ideal))
+    drift = np.abs(m_poly[:t] - m_ideal[:t]).max()
+    # log-mel features are stable to resampler choice within ~0.15 nats
+    # (interior frames; FIR edge transients excluded)
+    interior = np.abs(m_poly[2:t - 2] - m_ideal[2:t - 2]).max()
+    assert interior < 0.15, f'resampler drift {interior:.3f} nats'
+    assert np.isfinite(drift)
 
 
 # ---------------------------------------------------------------------------
