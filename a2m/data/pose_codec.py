@@ -73,6 +73,16 @@ class SpeakerStats:
     def load(cls, path) -> 'SpeakerStats':
         return cls(json.loads(Path(path).read_text()))
 
+    @classmethod
+    def load_legacy(cls) -> 'SpeakerStats':
+        """The reference's published 10-speaker constants
+        (`pose_video/consts.py:39-604`: mean/median/std + scale-to-jon per
+        speaker, 98-dim legacy 49-joint layout), shipped as a data asset so
+        legacy decodes (:func:`decode_pose_normalized_keypoints` with
+        ``num_keypoints=49``) bit-match reference renders."""
+        return cls.load(Path(__file__).parent / 'assets'
+                        / 'legacy_speaker_stats.json')
+
     def mean(self, speaker: str) -> np.ndarray:
         return np.asarray(self.stats[speaker]['mean'])
 

@@ -12,11 +12,24 @@ inference with static shapes.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from a2m import constants
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_apply(generator):
+    """One compiled eval-mode apply per generator module.
+
+    linen modules are frozen dataclasses, so equal-config generators share
+    the cache entry; without this every ``stream_poses`` call built a fresh
+    ``jax.jit`` wrapper and recompiled (minutes on remote-compile backends).
+    """
+    return jax.jit(lambda v, a: generator.apply(v, a, train=False))
 
 
 def window_starts(n_frames: int, window: int, hop: int) -> np.ndarray:
@@ -60,7 +73,7 @@ def stream_poses(generator, variables, features: np.ndarray,
     idx = starts[:, None] + np.arange(window)[None, :]
     windows = features[np.minimum(idx, t - 1)]          # (W, window, 128)
 
-    apply = jax.jit(lambda v, a: generator.apply(v, a, train=False))
+    apply = _cached_apply(generator)
     preds = []
     for i in range(0, len(windows), batch_size):
         chunk = windows[i:i + batch_size]

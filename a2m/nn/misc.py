@@ -2,12 +2,30 @@
 
 from __future__ import annotations
 
+import inspect
 import math
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+def _call_model(model, x, train: bool, **kwargs):
+    """Call ``model(x, ...)`` passing ``train=`` only when its signature
+    accepts it.
+
+    Explicit signature dispatch — a blanket ``except TypeError`` (the
+    previous approach, mirroring the reference's duck-typing) would swallow
+    real TypeErrors raised *inside* the module's ``__call__``.
+    """
+    fn = type(model).__call__ if isinstance(model, nn.Module) else model
+    params = inspect.signature(fn).parameters
+    accepts_train = 'train' in params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values())
+    if accepts_train:
+        return model(x, train=train, **kwargs)
+    return model(x, **kwargs)
 
 
 class Confidence(nn.Module):
@@ -124,10 +142,7 @@ class Group(nn.Module):
             axis = 0 if self.dim == 0 else -1
             x = jnp.concatenate(x, axis=axis)
         for model in self.models:
-            try:
-                x = model(x, train=train, **kwargs)
-            except TypeError:
-                x = model(x, **kwargs)
+            x = _call_model(model, x, train, **kwargs)
         if labels is not None:
             return index_select_outputs(x, labels, groups)
         axis = 0 if self.dim == 0 else -1
@@ -149,10 +164,7 @@ class BatchGroup(nn.Module):
         x = [jnp.concatenate(group, axis=0) for group in x]
         x = jnp.concatenate(x, axis=-1)
         for model in self.models:
-            try:
-                x = model(x, train=train, **kwargs)
-            except TypeError:
-                x = model(x, **kwargs)
+            x = _call_model(model, x, train, **kwargs)
         if labels is not None:
             labels = jnp.concatenate(labels, axis=0)
             out = index_select_outputs(x, labels, groups)

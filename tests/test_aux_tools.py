@@ -221,6 +221,61 @@ def test_streaming_short_clip(rng):
     assert np.isfinite(pose).all()
 
 
+def test_legacy_speaker_stats_decode(rng):
+    """The shipped 10-speaker constants registry decodes in the legacy
+    98-dim layout (pose_video/consts.py:39-604 parity)."""
+    from a2m.data.pose_codec import (SpeakerStats,
+                                     de_normalize_relative_keypoints,
+                                     decode_pose_normalized_keypoints,
+                                     normalize_relative_keypoints)
+    stats = SpeakerStats.load_legacy()
+    assert sorted(stats.stats) == ['almaram', 'angelica', 'chemistry',
+                                   'conan', 'ellen', 'jon', 'oliver', 'rock',
+                                   'seth', 'shelly']
+    for sp in stats.stats:
+        assert stats.mean(sp).shape == (98,)
+        assert stats.median(sp).shape == (98,)
+        assert stats.std(sp).shape == (98,)
+        assert stats.scale_factor(sp) > 0
+    # jon is the scale reference speaker ('scale to jon')
+    assert stats.scale_factor('jon') == pytest.approx(1.0)
+    # normalize/denormalize roundtrip in the 49-joint legacy space
+    k = rng.standard_normal((4, 98)).astype(np.float64) * 50
+    n = normalize_relative_keypoints(k, 'oliver', stats)
+    back = de_normalize_relative_keypoints(n, 'oliver', stats)
+    np.testing.assert_allclose(back, k, atol=1e-6)
+    dec = decode_pose_normalized_keypoints(n, np.zeros(2), 'oliver', stats,
+                                           scale_to_ref=True,
+                                           num_keypoints=49)
+    assert dec.shape == (4, 2, 49)
+
+
+def test_streaming_apply_is_cached(rng):
+    """Repeated stream_poses calls reuse one compiled apply (VERDICT r1 #7:
+    a fresh jax.jit per call recompiled the generator every invocation)."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval import streaming
+    from a2m.models import Generator
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    feats = rng.standard_normal((100, 128)).astype(np.float32)
+    streaming._cached_apply.cache_clear()
+    streaming.stream_poses(g, v, feats, hop=32, batch_size=4)
+    streaming.stream_poses(g, v, feats, hop=32, batch_size=4)
+    info = streaming._cached_apply.cache_info()
+    assert info.misses == 1 and info.hits >= 1
+    # an equal-config generator instance shares the cache entry too
+    g2 = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                   joint_feat_dim=8, gat_heads=2))
+    streaming.stream_poses(g2, v, feats, hop=32, batch_size=4)
+    assert streaming._cached_apply.cache_info().misses == 1
+
+
 def test_speaker_stats_median(pats_root):
     from a2m.data import DataLoader
     dl = DataLoader(path2data=pats_root, speaker=['oliver'],
