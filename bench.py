@@ -23,13 +23,14 @@ CLIP_SECONDS = 4.3
 BATCH = 64
 
 
-def build_pipeline():
+def build_pipeline(use_pallas: bool = False, dtype=jnp.float32):
     from a2m.audio import frontend
+    from a2m.audio.pallas_mel import pallas_log_mel
     from a2m.constants import AUDIO_FS_MAP, FRAMES_PER_WINDOW
     from a2m.models import Generator
 
     spec = frontend.spec_log_mel_512(SR)
-    model = Generator()
+    model = Generator(dtype=dtype)
     key = jax.random.PRNGKey(0)
     dummy_feats = jnp.zeros((BATCH, FRAMES_PER_WINDOW, 128), jnp.float32)
     variables = jax.jit(model.init)({'params': key, 'dropout': key}, dummy_feats)
@@ -39,10 +40,20 @@ def build_pipeline():
     stride = round(fs / 15)               # 6 -> 64 frames
 
     @jax.jit
-    def audio_to_pose(waveform):
-        feats = frontend.log_mel(waveform, spec, exact=False)
+    def audio_to_pose(waveform, carry=None):
+        """carry: optional scalar threaded through timing loops — the axon
+        backend CACHES identical (executable, inputs) executions, so
+        benchmark iterations must differ; chaining a carry gives every
+        iteration distinct inputs AND a true device-side dependency."""
+        if use_pallas:
+            feats = pallas_log_mel(waveform, spec, exact=False)
+        else:
+            feats = frontend.log_mel(waveform, spec, exact=False)
         feats = feats[:, :window:stride, :]          # (B, 64, 128)
-        return model.apply(variables, feats, train=False)
+        pose = model.apply(variables, feats, train=False)
+        if carry is None:
+            return pose
+        return pose, carry + pose.mean()
 
     return audio_to_pose
 
@@ -54,28 +65,30 @@ def main() -> None:
     wave = jax.device_put(wave)
 
     pipeline = build_pipeline()
-    out = pipeline(wave)
-    out.block_until_ready()   # compile + warm
+    carry = jnp.float32(0.0)
+    out, carry = pipeline(wave, carry)
+    float(carry)              # compile + warm + d2h sync (block_until_ready
+                              # does NOT synchronize on this backend)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pipeline(wave)
-    out.block_until_ready()
+        out, carry = pipeline(wave, carry)
+    float(carry)              # the carry chain serializes all iterations
     dt = (time.perf_counter() - t0) / iters
 
     audio_seconds = BATCH * CLIP_SECONDS
     rt_factor = audio_seconds / dt
 
-    # p50 single-clip latency (secondary, recorded in the same line's unit
-    # field context; the driver contract wants exactly one JSON line)
-    single = jax.device_put(wave[:1])
+    # p50 single-clip latency: per-call d2h sync, distinct input per call
+    # (a noise scale keyed on i defeats the backend's execution cache)
     pipe1 = build_pipeline_single()
-    _ = pipe1(single).block_until_ready()
+    singles = [jax.device_put(wave[i][None]) for i in range(21)]
+    _ = float(pipe1(singles[20]).mean())
     lats = []
-    for _ in range(20):
+    for i in range(20):
         t0 = time.perf_counter()
-        pipe1(single).block_until_ready()
+        float(pipe1(singles[i]).mean())
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)
 
