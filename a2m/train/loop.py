@@ -12,6 +12,7 @@ none).
 
 from __future__ import annotations
 
+import contextlib
 import time
 from pathlib import Path
 from typing import Callable
@@ -26,6 +27,7 @@ from a2m.models import Discriminator, Generator
 from a2m.train import checkpoint as ckpt_lib
 from a2m.train.controller import DynamicGANTraining
 from a2m.train.train_step import init_states, make_train_steps, set_lr
+from a2m.utils import profiling
 
 
 class Trainer:
@@ -153,39 +155,42 @@ class Trainer:
 
             measuring = not self._mfu_done
             tracing = (measuring and self.cfg.train.profile_dir and i == 2)
-            if tracing:
-                jax.profiler.start_trace(self.cfg.train.profile_dir)
-
-            for _ in range(g_freq):
-                t0 = time.perf_counter()
-                self.g_state, new_d_bs, gm = self.g_step(
-                    self.g_state, self.d_state, audio, pose, self.mean,
-                    self.std, real_lp.smooth_real, real_lp.noise_std,
-                    self._next_key(), style=style, mask=mask)
-                self.d_state = self.d_state._replace(batch_stats=new_d_bs)
-                if measuring:
-                    # d2h sync: block_until_ready does not synchronize on
-                    # remote-tunnel backends (round-1 gotcha)
-                    float(gm['g_loss'])
-                    self._mfu_times['g'].append(time.perf_counter() - t0)
-            last_g = float(gm['g_loss'])
-
-            if ctrl.should_train_discriminator():
-                for _ in range(d_freq):
+            trace_ctx = (profiling.device_trace(self.cfg.train.profile_dir)
+                         if tracing else contextlib.nullcontext())
+            with trace_ctx:
+                for _ in range(g_freq):
                     t0 = time.perf_counter()
-                    self.d_state, self.g_state, dm = self.d_step(
-                        self.g_state, self.d_state, audio, pose, self.mean,
-                        self.std, real_lp.smooth_real, fake_lp.smooth_fake,
-                        real_lp.noise_std, self._next_key(), style=style,
-                        mask=mask)
+                    with profiling.trace_annotation('a2m.g_step'):
+                        self.g_state, new_d_bs, gm = self.g_step(
+                            self.g_state, self.d_state, audio, pose,
+                            self.mean, self.std, real_lp.smooth_real,
+                            real_lp.noise_std, self._next_key(), style=style,
+                            mask=mask)
+                    self.d_state = self.d_state._replace(
+                        batch_stats=new_d_bs)
                     if measuring:
-                        float(dm['d_loss'])
-                        self._mfu_times['d'].append(time.perf_counter() - t0)
-                last_d = float(dm['d_loss'])
-            # else: reuse last_d (reference version5_model_train.py:407-411)
+                        # d2h sync: block_until_ready does not synchronize
+                        # on remote-tunnel backends (round-1 gotcha)
+                        float(gm['g_loss'])
+                        self._mfu_times['g'].append(time.perf_counter() - t0)
+                last_g = float(gm['g_loss'])
 
+                if ctrl.should_train_discriminator():
+                    for _ in range(d_freq):
+                        t0 = time.perf_counter()
+                        with profiling.trace_annotation('a2m.d_step'):
+                            self.d_state, self.g_state, dm = self.d_step(
+                                self.g_state, self.d_state, audio, pose,
+                                self.mean, self.std, real_lp.smooth_real,
+                                fake_lp.smooth_fake, real_lp.noise_std,
+                                self._next_key(), style=style, mask=mask)
+                        if measuring:
+                            float(dm['d_loss'])
+                            self._mfu_times['d'].append(
+                                time.perf_counter() - t0)
+                    last_d = float(dm['d_loss'])
+                # else: reuse last_d (version5_model_train.py:407-411)
             if tracing:
-                jax.profiler.stop_trace()
                 self.log(f'device trace -> {self.cfg.train.profile_dir}')
             min_batch = 2 if self.cfg.train.profile_dir else 1
             if (measuring and i >= min_batch

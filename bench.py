@@ -20,7 +20,9 @@ import numpy as np
 TARGET_RT = 100.0  # BASELINE.json north star: >=100x realtime per chip
 SR = 45600         # nominal PATS sample rate (audio.py:177)
 CLIP_SECONDS = 4.3
-BATCH = 64
+# batch sweep (scripts/pipeline_ab.py, v5e): 64 -> 9,087x, 128 -> 10,678x,
+# 256 -> 10,113x, 512 -> 9,870x realtime; 128 is the throughput sweet spot
+BATCH = 128
 
 
 def build_pipeline(use_pallas: bool = False, dtype=jnp.float32):

@@ -6,7 +6,8 @@ variant.  Used to find and verify the top hotspot for the README MFU table
 (VERDICT r1 #4).
 
 Usage:  python scripts/step_time_ablation.py [variant ...]
-Variants: f32 bf16 f32_nodrop bf16_nodrop f32_rbg bf16_rbg
+Variants: f32 bf16 f32_nodrop bf16_nodrop f32_rbg bf16_rbg, each with an
+optional @<batch> suffix (e.g. f32@512) — default batch 128.
 """
 
 from __future__ import annotations
@@ -23,6 +24,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def run_variant(name: str) -> dict:
     import jax
+    name, _, bs = name.partition('@')
+    batch = int(bs) if bs else 128
     if name.endswith('_rbg'):
         jax.config.update('jax_default_prng_impl', 'rbg')
     else:
@@ -42,7 +45,6 @@ def run_variant(name: str) -> dict:
         **({'dropout': drop} if drop is not None else {}))
     g_model = Generator(g_cfg, dtype=dt)
     d_model = Discriminator(d_cfg, dtype=dt)
-    batch = 128
     gs, ds = init_states(g_model, d_model, jax.random.PRNGKey(0),
                          batch_size=batch)
     g_step, d_step, _ = make_train_steps(g_model, d_model, TrainConfig(),
