@@ -138,6 +138,10 @@ class TrainConfig:
     # few steps into profile_dir when set
     log_mfu: bool = True
     profile_dir: str = ''
+    # input-pipeline depth: batches staged on-device ahead of consumption by
+    # a worker thread (h2d costs ~150 ms/batch on the tunnel backend);
+    # 0 = fully synchronous feeding
+    prefetch_batches: int = 2
 
 
 @dataclass(frozen=True)

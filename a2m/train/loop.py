@@ -131,6 +131,43 @@ class Trainer:
             style = style[:, 0]
         return jnp.asarray(style.astype(np.int32))
 
+    def _prefetch(self, iterator):
+        """Stage (audio, pose, style, mask) on-device ahead of consumption.
+
+        Host->device transfers on the tunnel backend cost ~150 ms per
+        full-size batch; a worker thread issues batch i+1's transfers while
+        batch i computes, so the device never waits on input
+        (cfg.train.prefetch_batches deep; 0 = fully synchronous).
+        """
+        depth = self.cfg.train.prefetch_batches
+        to_device = lambda b: (jnp.asarray(b['audio/log_mel_512']),  # noqa: E731
+                               jnp.asarray(b['pose/data']),
+                               self._style_ids(b),
+                               jnp.asarray(b['mask']))
+        if depth <= 0:
+            for batch in iterator:
+                yield to_device(batch)
+            return
+        import queue
+        import threading
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        done = object()
+
+        def worker():
+            try:
+                for batch in iterator:
+                    q.put(to_device(batch))
+            except BaseException as e:          # surface in the main thread
+                q.put(e)
+                return
+            q.put(done)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while (item := q.get()) is not done:
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         cfg = self.cfg
         ctrl = self.controller
@@ -145,13 +182,27 @@ class Trainer:
         fake_lp = ctrl.label_params(epoch, is_real=False)
         last_g = last_d = 0.0
         n_batches = 0
-        for i, batch in enumerate(self.dataloader.train):
-            audio = jnp.asarray(batch['audio/log_mel_512'])
-            pose = jnp.asarray(batch['pose/data'])
-            style = self._style_ids(batch)
-            # always pass the mask (all-ones == plain mean) so full and
-            # wrap-padded ragged batches share ONE compiled step
-            mask = jnp.asarray(batch['mask'])
+        # Deferred metric drain: a host<->device round trip on this backend
+        # costs ~34 ms, and the controller's per-batch decision only needs
+        # loss history through the PREVIOUS batch (the synchronous loop also
+        # appended batch i's losses after batch i finished).  So batch i-1's
+        # metrics are fetched while batch i's G update is in flight — the
+        # device pipeline never stalls on the tunnel, and the controller
+        # sees exactly the same loss sequence as a fully synchronous loop.
+        pending: tuple | None = None        # previous batch's (gm, dm|None)
+
+        def drain(p) -> None:
+            nonlocal last_g, last_d
+            gm_p, dm_p = p
+            last_g = float(gm_p['g_loss'])
+            if dm_p is not None:
+                last_d = float(dm_p['d_loss'])
+            ctrl.update_loss_history(last_d, last_g)
+
+        # mask is always passed (all-ones == plain mean) so full and
+        # wrap-padded ragged batches share ONE compiled step
+        for i, (audio, pose, style, mask) in enumerate(
+                self._prefetch(self.dataloader.train)):
 
             measuring = not self._mfu_done
             tracing = (measuring and self.cfg.train.profile_dir and i == 2)
@@ -173,8 +224,11 @@ class Trainer:
                         # on remote-tunnel backends (round-1 gotcha)
                         float(gm['g_loss'])
                         self._mfu_times['g'].append(time.perf_counter() - t0)
-                last_g = float(gm['g_loss'])
+                # drain batch i-1's metrics while batch i's G is in flight
+                if pending is not None:
+                    drain(pending)
 
+                dm = None
                 if ctrl.should_train_discriminator():
                     for _ in range(d_freq):
                         t0 = time.perf_counter()
@@ -188,8 +242,9 @@ class Trainer:
                             float(dm['d_loss'])
                             self._mfu_times['d'].append(
                                 time.perf_counter() - t0)
-                    last_d = float(dm['d_loss'])
-                # else: reuse last_d (version5_model_train.py:407-411)
+                # else dm stays None: reuse last_d at drain time
+                # (version5_model_train.py:407-411)
+                pending = (gm, dm)
             if tracing:
                 self.log(f'device trace -> {self.cfg.train.profile_dir}')
             min_batch = 2 if self.cfg.train.profile_dir else 1
@@ -203,9 +258,10 @@ class Trainer:
                           real_lp.noise_std, self.key)
                 self._mfu_report(g_args, d_args, style, mask)
 
-            ctrl.update_loss_history(last_d, last_g)
             n_batches += 1
             if i % cfg.train.log_every_batches == cfg.train.log_every_batches - 1:
+                # last_g/last_d reflect the previous drained batch (one
+                # batch of display lag; training behavior is unaffected)
                 rd, rg = ctrl.get_recent_avg_loss()
                 self.log(f'[Epoch {epoch}] [Batch {i + 1}] '
                          f'[D {last_d:.4f}] [G {last_g:.4f}] '
@@ -213,6 +269,8 @@ class Trainer:
                          f'[freq G{g_freq}/D{d_freq}]')
                 self.loss_history['train_g'].append(last_g)
                 self.loss_history['train_d'].append(last_d)
+        if pending is not None:
+            drain(pending)           # final batch completes the history
         return last_g, last_d
 
     def validate(self) -> dict[str, float]:
@@ -225,7 +283,9 @@ class Trainer:
             metrics = self.eval_step(self.g_state, self.d_state, audio, pose,
                                      self.mean, self.std, mask,
                                      style=self._style_ids(batch))
-            for k, v in metrics.items():
+            # one d2h transfer for the whole metric dict (each float() is a
+            # separate ~ms round trip on the tunnel backend)
+            for k, v in jax.device_get(metrics).items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             steps += 1
         return {k: v / max(steps, 1) for k, v in sums.items()}

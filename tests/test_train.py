@@ -285,3 +285,58 @@ def test_trainer_one_epoch(tmp_path, rng):
     # resume: a new trainer picks up epoch 1
     trainer2 = Trainer(cfg, dl, log_fn=lambda s: None)
     assert trainer2.start_epoch == 1
+
+
+def test_trainer_deferred_drain_exact_loss_sequence(tmp_path, rng):
+    """The deferred metric drain (one-batch-lagged d2h fetch) must feed the
+    controller exactly one (d, g) update per batch, with each g equal to
+    that same batch's g_step metric — i.e. identical information to a fully
+    synchronous loop, just fetched later."""
+    from a2m.data import DataLoader, make_synthetic_pats
+    from a2m.train.loop import Trainer
+
+    root = make_synthetic_pats(tmp_path / 'pats', speakers=('oliver',),
+                               intervals_per_speaker=4, duration_s=8.0)
+    cfg = Config(
+        generator=TINY_G, discriminator=TINY_D,
+        data=DataConfig(path2data=str(root), speakers=('oliver',),
+                        batch_size=4, window_hop=30),
+        train=TrainConfig(n_epochs=1, save_dir=str(tmp_path / 'save'),
+                          log_every_batches=1000, donate_buffers=False,
+                          log_mfu=False, resume=False),
+    )
+    dl = DataLoader(path2data=root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=4, window_hop=30)
+    trainer = Trainer(cfg, dl, log_fn=lambda s: None)
+
+    g_losses, d_losses, updates = [], [], []
+    raw_g, raw_d = trainer.g_step, trainer.d_step
+    raw_update = trainer.controller.update_loss_history
+
+    def rec_g(*a, **k):
+        out = raw_g(*a, **k)
+        g_losses.append(float(out[2]['g_loss']))
+        return out
+
+    def rec_d(*a, **k):
+        out = raw_d(*a, **k)
+        d_losses.append(float(out[2]['d_loss']))
+        return out
+
+    trainer.g_step, trainer.d_step = rec_g, rec_d
+    trainer.controller.update_loss_history = (
+        lambda d, g: (updates.append((d, g)), raw_update(d, g)))
+    trainer.train_epoch(0)
+
+    n_batches = sum(1 for _ in dl.train)
+    assert len(updates) == n_batches        # one history entry per batch
+    # g_freq may be >1: the history records the LAST g_step of each batch
+    g_per_batch = len(g_losses) // n_batches
+    assert g_per_batch >= 1
+    assert [g for _, g in updates] == g_losses[g_per_batch - 1::g_per_batch]
+    # every d in the history is either a real d_step loss or a carry-over
+    # of the previous d (the skip-D rule, version5_model_train.py:407-411)
+    seen_d = [d for d, _ in updates]
+    for j, d in enumerate(seen_d):
+        assert d in d_losses or (j > 0 and d == seen_d[j - 1]) or d == 0.0
