@@ -196,10 +196,14 @@ def config6_streaming(seconds: float = 60.0) -> dict:
                         jnp.zeros((1, 64, 128), jnp.float32))
     rng = np.random.default_rng(0)
     wave = (rng.standard_normal(int(SR * seconds)) * 0.1).astype(np.float32)
+    # the timed pass uses a DIFFERENT waveform: the backend caches identical
+    # (executable, inputs) executions, so re-streaming the warm-up wave
+    # would time only round trips (see verify-skill timing gotchas)
+    wave2 = (rng.standard_normal(int(SR * seconds)) * 0.1).astype(np.float32)
     streaming._cached_apply.cache_clear()
     pose = streaming.stream_from_waveform(g, v, wave, SR)   # compile + warm
     t0 = time.perf_counter()
-    pose = streaming.stream_from_waveform(g, v, wave, SR)
+    pose = streaming.stream_from_waveform(g, v, wave2, SR)
     dt = time.perf_counter() - t0
     info = streaming._cached_apply.cache_info()
     return dict(config='streaming', audio_seconds=seconds,
