@@ -58,6 +58,13 @@ def _gmm_em(x: np.ndarray, n_iter: int = 25, seed: int = 0):
     # k-means-style init: split on total energy median
     total = x.sum(axis=1)
     hi = total > np.median(total)
+    if hi.all() or not hi.any():
+        # constant-energy signal: no bimodal structure to fit (an empty
+        # component would make the EM means NaN) — classify every frame by
+        # absolute level instead: speech iff the mean band energy exceeds a
+        # -120 dB noise floor
+        loud = total / x.shape[1] > np.log(1e-12)
+        return np.where(loud, 1.0, 0.0)
     mus = np.stack([x[~hi].mean(axis=0), x[hi].mean(axis=0)])
     var = np.stack([x[~hi].var(axis=0), x[hi].var(axis=0)]) + 1e-3
     pis = np.array([float((~hi).mean()), float(hi.mean())])
@@ -104,7 +111,7 @@ def silence_stream(y: np.ndarray, sr: int = 16000, fs_new: int = 15,
     ranges = np.arange(0, y.shape[0], step)
     out = []
     for start, end in zip(ranges[:-1], ranges[1:]):
-        sub_ranges = np.arange(start, end, sr / 100)
+        sub_ranges = np.arange(start, end, sub)
         idx = (sub_ranges[:-1] // sub).astype(int)
         idx = idx[idx < len(is_speech)]
         frac = is_speech[idx].mean() if len(idx) else 0.0

@@ -18,7 +18,14 @@ from typing import Any, Sequence
 class AudioConfig:
     """Audio frontend selection; specs live in :mod:`a2m.constants`."""
     method: str = 'log_mel_512'     # 'log_mel_512' | 'log_mel_400' | 'vggish'
-    use_pallas: bool = True         # fused Pallas mel kernel on TPU
+    # fused Pallas mel kernel for modality preprocessing:
+    # 'auto' = Pallas on a real TPU backend, XLA elsewhere; 'on' | 'off'
+    # force it.  (Measured A/B: XLA and Pallas are within 3% on TPU.)
+    use_pallas: str = 'auto'
+
+    def pallas_mode(self) -> bool | None:
+        """Tri-state for :class:`a2m.data.modalities.Audio`."""
+        return {'auto': None, 'on': True, 'off': False}[self.use_pallas]
 
 
 @dataclass(frozen=True)

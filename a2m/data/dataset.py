@@ -365,7 +365,7 @@ class DataLoader(mods.Modality):
                  style_iters=0, num_training_sample=None, sample_all_styles=0,
                  repeat_text=1, quantile_sample=None,
                  quantile_num_training_sample=None, weighted=0, filler=False,
-                 num_training_iters=None, seed=0):
+                 num_training_iters=None, seed=0, use_pallas=None):
         self.path2data = path2data
         if isinstance(speaker, str):
             speaker = [speaker]
@@ -392,7 +392,7 @@ class DataLoader(mods.Modality):
         self.missing = hdf5_io.MissingData(path2data)
 
         self.modality_classes = mods.load_modality_classes(
-            self.modalities, path2data, self.speaker)
+            self.modalities, path2data, self.speaker, use_pallas=use_pallas)
 
         self.df = mods.read_master_csv(path2data, with_transforms=True)
         if self.speaker[0] == 'all':

@@ -169,13 +169,20 @@ class Discriminator(nn.Module):
         return scores.astype(jnp.float32), aux_logits
 
 
-def aux_cross_entropy(aux_logits: jnp.ndarray, labels: jnp.ndarray
-                      ) -> jnp.ndarray:
-    """CE over gesture classes (real_motion_model.py:578,635-640)."""
+def aux_cross_entropy(aux_logits: jnp.ndarray, labels: jnp.ndarray,
+                      mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """CE over gesture classes (real_motion_model.py:578,635-640).
+
+    ``mask``: optional (B,) 1/0 weights (wrap-padded rows).  Labels must be
+    in [0, n_classes) — out-of-range ids one_hot to a zero row and would
+    silently contribute zero loss (the Trainer validates this).
+    """
+    from a2m.models import losses as _L
     logp = jax.nn.log_softmax(aux_logits, axis=-1)
     onehot = jax.nn.one_hot(labels, aux_logits.shape[-1],
                             dtype=aux_logits.dtype)
-    return -(onehot * logp).sum(axis=-1).mean()
+    per_sample = -(onehot * logp).sum(axis=-1)
+    return _L.masked_mean(per_sample, mask)
 
 
 # reference-compatible alias

@@ -32,7 +32,8 @@ def main(argv=None) -> None:
                     quantile_num_training_sample=(
                         cfg.data.quantile_num_training_sample),
                     weighted=cfg.data.weighted,
-                    seed=cfg.data.seed)
+                    seed=cfg.data.seed,
+                    use_pallas=cfg.audio.pallas_mode())
     trainer = Trainer(cfg, dl)
     trainer.fit()
 

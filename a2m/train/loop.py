@@ -92,7 +92,7 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def _mfu_report(self, g_args, d_args, style, mask):
+    def _mfu_report(self, args, style, mask):
         """Log per-step MFU once, from timings of the live training steps.
 
         Timings come from instrumented *real* step calls (donation-safe —
@@ -102,6 +102,7 @@ class Trainer:
         """
         import numpy as _np
         from a2m.utils import mfu as mfu_lib
+        g_args, d_args = args
         self._mfu_done = True
         dtype = self.cfg.train.compute_dtype
         # first sample of each phase includes the compile — drop it
@@ -129,6 +130,16 @@ class Trainer:
         style = np.asarray(batch['style'])
         if style.ndim > 1:
             style = style[:, 0]
+        if self.cfg.train.lambda_aux > 0:
+            # one_hot maps out-of-range labels to an all-zero row, which
+            # would make the aux CE silently contribute zero for those
+            # samples — fail loudly instead
+            n = self.cfg.discriminator.aux_classes
+            if style.max(initial=0) >= n:
+                raise ValueError(
+                    f'aux CE: speaker id {int(style.max())} >= '
+                    f'discriminator.aux_classes={n}; raise aux_classes to '
+                    f'cover every speaker style id')
         return jnp.asarray(style.astype(np.int32))
 
     def _prefetch(self, iterator):
@@ -152,21 +163,35 @@ class Trainer:
         import threading
         q: queue.Queue = queue.Queue(maxsize=depth)
         done = object()
+        stop = threading.Event()   # consumer abandoned the epoch: unblock
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in iterator:
-                    q.put(to_device(batch))
+                    if not put(to_device(batch)):
+                        return         # consumer gone — release h5 handles
             except BaseException as e:          # surface in the main thread
-                q.put(e)
+                put(e)
                 return
-            q.put(done)
+            put(done)
 
         threading.Thread(target=worker, daemon=True).start()
-        while (item := q.get()) is not done:
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while (item := q.get()) is not done:
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()             # end the worker if we exit early
 
     def train_epoch(self, epoch: int) -> tuple[float, float]:
         cfg = self.cfg
@@ -250,13 +275,8 @@ class Trainer:
             min_batch = 2 if self.cfg.train.profile_dir else 1
             if (measuring and i >= min_batch
                     and len(self._mfu_times['g']) >= 2):
-                g_args = (self.g_state, self.d_state, audio, pose, self.mean,
-                          self.std, real_lp.smooth_real, real_lp.noise_std,
-                          self.key)
-                d_args = (self.g_state, self.d_state, audio, pose, self.mean,
-                          self.std, real_lp.smooth_real, fake_lp.smooth_fake,
-                          real_lp.noise_std, self.key)
-                self._mfu_report(g_args, d_args, style, mask)
+                self._mfu_report(self._mfu_args(audio, pose, real_lp,
+                                                fake_lp), style, mask)
 
             n_batches += 1
             if i % cfg.train.log_every_batches == cfg.train.log_every_batches - 1:
@@ -271,7 +291,21 @@ class Trainer:
                 self.loss_history['train_d'].append(last_d)
         if pending is not None:
             drain(pending)           # final batch completes the history
+        if not self._mfu_done and self._mfu_times['g'] and n_batches:
+            # epochs shorter than the in-loop report threshold would
+            # otherwise keep measuring mode (and its per-step d2h syncs)
+            # on forever — finish with whatever samples this epoch produced
+            self._mfu_report(self._mfu_args(audio, pose, real_lp, fake_lp),
+                             style, mask)
         return last_g, last_d
+
+    def _mfu_args(self, audio, pose, real_lp, fake_lp):
+        g_args = (self.g_state, self.d_state, audio, pose, self.mean,
+                  self.std, real_lp.smooth_real, real_lp.noise_std, self.key)
+        d_args = (self.g_state, self.d_state, audio, pose, self.mean,
+                  self.std, real_lp.smooth_real, fake_lp.smooth_fake,
+                  real_lp.noise_std, self.key)
+        return g_args, d_args
 
     def validate(self) -> dict[str, float]:
         sums: dict[str, float] = {}

@@ -30,6 +30,7 @@ from flax.core import FrozenDict
 from a2m.config import TrainConfig
 from a2m.models import Discriminator, Generator
 from a2m.models import losses as L
+from a2m.models.discriminator import aux_cross_entropy
 
 
 class NetState(NamedTuple):
@@ -134,6 +135,30 @@ def _per_sample_angles(pose, hand: bool):
     return pen.reshape(pose.shape[0], -1).mean(axis=1)
 
 
+def masked_motion_losses(real_pose, real_motion, fake_pose, fake_motion,
+                         mask):
+    """Masked kinematic loss breakdown (L1 motion, smoothness, jerk, bone,
+    angle) — the SINGLE definition shared by g_step and eval_step so train
+    and validation metrics can never diverge.
+
+    Mirrors version5_model_train.py:216-248,467-492 with per-sample means
+    weighted by ``mask`` (all-ones == the reference's global means).
+    """
+    def mm(x):
+        return L.masked_mean(x, mask)
+
+    accel = fake_motion[:, 1:] - fake_motion[:, :-1]
+    jerk = accel[:, 1:] - accel[:, :-1]
+    return dict(
+        reg=mm(jnp.abs(real_motion - fake_motion)),
+        smooth=mm(L.safe_norm(accel, axis=-1)),
+        jerk=mm(L.safe_norm(jerk, axis=-1)),
+        bone=mm((L.bone_lengths(fake_pose) - L.bone_lengths(real_pose)) ** 2),
+        angle=mm(0.7 * _per_sample_angles(fake_pose, hand=True)
+                 + 0.3 * _per_sample_angles(fake_pose, hand=False)),
+    )
+
+
 def make_train_steps(g_model: Generator, d_model: Discriminator,
                      cfg: TrainConfig, donate: bool = True,
                      jit_steps: bool = True):
@@ -172,23 +197,16 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                                            d_state.batch_stats, fake_motion,
                                            k_ddrop, True)
 
-            def mm(x):  # per-sample -> (masked) batch mean
-                return L.masked_mean(x, mask)
-
-            g_loss = (mm(jnp.abs(real_motion - fake_motion))
-                      + cfg.lambda_gan * mm((fake_d - valid) ** 2))
-            accel = fake_motion[:, 1:] - fake_motion[:, :-1]
-            jerk = accel[:, 1:] - accel[:, :-1]
-            smooth_l = mm(L.safe_norm(accel, axis=-1))
-            jerk_l = mm(L.safe_norm(jerk, axis=-1))
-            bone_l = mm((L.bone_lengths(fake_pose)
-                         - L.bone_lengths(real_pose)) ** 2)
-            angle_l = mm(0.7 * _per_sample_angles(fake_pose, hand=True)
-                         + 0.3 * _per_sample_angles(fake_pose, hand=False))
-            total = (g_loss + cfg.lambda_smooth * smooth_l
-                     + cfg.lambda_jerk * jerk_l + bone_l + angle_l)
-            metrics = dict(g_loss=total, g_gan=g_loss, smooth=smooth_l,
-                           jerk=jerk_l, bone=bone_l, angle=angle_l)
+            kin = masked_motion_losses(real_pose, real_motion, fake_pose,
+                                       fake_motion, mask)
+            g_loss = (kin['reg'] + cfg.lambda_gan
+                      * L.masked_mean((fake_d - valid) ** 2, mask))
+            total = (g_loss + cfg.lambda_smooth * kin['smooth']
+                     + cfg.lambda_jerk * kin['jerk'] + kin['bone']
+                     + kin['angle'])
+            metrics = dict(g_loss=total, g_gan=g_loss, smooth=kin['smooth'],
+                           jerk=kin['jerk'], bone=kin['bone'],
+                           angle=kin['angle'])
             return total, (new_g_bs, new_d_bs, metrics)
 
         grads, (new_g_bs, new_d_bs, metrics) = jax.grad(
@@ -236,10 +254,7 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
             total = real_loss + cfg.lambda_d * fake_loss
             metrics = dict(d_loss=total, d_real=real_loss, d_fake=fake_loss)
             if cfg.lambda_aux > 0 and style is not None:
-                logp = jax.nn.log_softmax(aux_real, axis=-1)
-                onehot = jax.nn.one_hot(style, aux_real.shape[-1],
-                                        dtype=aux_real.dtype)
-                aux_l = mm(-(onehot * logp).sum(axis=-1))
+                aux_l = aux_cross_entropy(aux_real, style, mask)
                 total = total + cfg.lambda_aux * aux_l
                 metrics = dict(metrics, d_loss=total, d_aux=aux_l)
             return total, (bs2, metrics)
@@ -269,24 +284,15 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         valid = jnp.ones_like(fake_d)
         fake_lab = jnp.zeros_like(fake_d)
 
-        def mmean(x):  # per-sample -> masked batch mean
-            return L.masked_mean(x, mask)
-
-        reg = mmean(jnp.abs(real_motion - fake_motion))
-        g_gan = mmean((fake_d - valid) ** 2)
-        d_loss = mmean((real_d - valid) ** 2) + cfg.lambda_d * mmean(
-            (fake_d - fake_lab) ** 2)
-        accel = fake_motion[:, 1:] - fake_motion[:, :-1]
-        jerk = accel[:, 1:] - accel[:, :-1]
-        smooth_l = mmean(jnp.linalg.norm(accel, axis=-1))
-        jerk_l = mmean(jnp.linalg.norm(jerk, axis=-1))
-        bone_sq = (L.bone_lengths(fake_pose) - L.bone_lengths(real_pose)) ** 2
-        bone_l = mmean(bone_sq)
-        angle_l = mmean(0.7 * _per_sample_angles(fake_pose, hand=True)
-                        + 0.3 * _per_sample_angles(fake_pose, hand=False))
-        return dict(val_g=reg + cfg.lambda_gan * g_gan, val_d=d_loss,
-                    bone=bone_l, angle=angle_l, smooth=smooth_l,
-                    jerk=jerk_l)
+        kin = masked_motion_losses(real_pose, real_motion, fake_pose,
+                                   fake_motion, mask)
+        g_gan = L.masked_mean((fake_d - valid) ** 2, mask)
+        d_loss = (L.masked_mean((real_d - valid) ** 2, mask)
+                  + cfg.lambda_d * L.masked_mean((fake_d - fake_lab) ** 2,
+                                                 mask))
+        return dict(val_g=kin['reg'] + cfg.lambda_gan * g_gan, val_d=d_loss,
+                    bone=kin['bone'], angle=kin['angle'],
+                    smooth=kin['smooth'], jerk=kin['jerk'])
 
     if not jit_steps:
         return g_step, d_step, eval_step

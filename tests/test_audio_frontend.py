@@ -222,6 +222,33 @@ def test_gmm_vad_matches_ground_truth():
     assert acc >= 0.9, f'GMM VAD accuracy {acc:.2f} vs ground truth'
 
 
+def test_gmm_vad_constant_signal_no_nan():
+    """Constant-energy audio has no bimodal structure: the GMM must fall
+    back to an absolute-level rule instead of fitting NaN means."""
+    import warnings
+    from a2m.audio import vad
+    for y, want_silent in ((np.zeros(16000, np.float32), True),
+                           (np.full(16000, 0.5, np.float32), False)):
+        with warnings.catch_warnings():
+            warnings.simplefilter('error')      # NaN-mean raises here
+            stream = vad.silence_stream(y)
+        assert np.isfinite(stream).all()
+        silent = stream[0::2].astype(bool)
+        assert silent.all() == want_silent and silent.any() == want_silent
+
+
+def test_silence_stream_honors_frame_ms():
+    """The window aggregation steps by the actual sub-frame length."""
+    from a2m.audio import vad
+    y, _ = _speech_like()
+    s10 = vad.silence_stream(y.astype(np.float32), frame_ms=10)
+    s20 = vad.silence_stream(y.astype(np.float32), frame_ms=20)
+    assert s10.shape == s20.shape              # same 1/15 s window count
+    n = len(s10) // 2
+    agree = (s10[0::2] == s20[0::2]).mean()
+    assert agree > 0.9                         # coarser frames, same calls
+
+
 def test_energy_vad_vs_gmm_vad_agreement():
     """Bound the documented deviation: the jittable energy VAD's decisions
     vs the GMM VAD on the speech-like fixture (PARITY.md records this)."""

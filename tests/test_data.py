@@ -24,6 +24,18 @@ def loader(pats_root):
                       fs_new=[15, 15], batch_size=8, window_hop=5, seed=0)
 
 
+def test_use_pallas_reaches_audio_modality(pats_root):
+    """config audio.use_pallas plumbs DataLoader -> Audio frontends."""
+    from a2m.config import AudioConfig
+    assert AudioConfig(use_pallas='off').pallas_mode() is False
+    assert AudioConfig().pallas_mode() is None          # auto
+    dl = DataLoader(path2data=pats_root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=4, use_pallas=False)
+    assert dl.modality_classes['audio/log_mel_512'].use_pallas is False
+    assert not dl.modality_classes['audio/log_mel_512']._pallas_active()
+
+
 # ---------------------------------------------------------------------------
 # window arithmetic
 # ---------------------------------------------------------------------------
