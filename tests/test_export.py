@@ -57,7 +57,6 @@ def test_audio_artifact_runs(gen_and_vars, tmp_path, rng):
 def test_cli_builds_artifact(tmp_path, rng):
     """python -m a2m.export without a checkpoint (fresh init, identity
     stats) writes + checks an artifact."""
-    import dataclasses
     from unittest import mock
     from a2m.config import Config
     tiny_cfg = Config(generator=TINY)
