@@ -68,6 +68,10 @@ class GeneratorConfig:
     # to the encoder features (the reference's Style module is a stub,
     # model_layers.py:913-923; here it is a real capability)
     num_style_speakers: int = 0
+    # eval-mode fused Pallas GCN stacks (a2m/nn/pallas_gcn.py): 1.46x the
+    # XLA lowering on v5e, but ~15 min Mosaic compile on the remote-compile
+    # backend — opt-in for serving deployments where compiles amortize
+    fused_gcn: bool = False
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,7 @@ class _PartDecoder(nn.Module):
     heads: int
     attention_first: bool        # body: ChannelAttn->SelfAttn; hand: reversed
     extra_post_channel_attn: bool
+    fused_gcn: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -72,7 +73,7 @@ class _PartDecoder(nn.Module):
                      name='proj_in')(x)
         x = x.reshape(b, t, j, f)
         x = GCNStack(f, self.adjacency, num_layers=5, heads=self.heads,
-                     dropout=self.p, dtype=self.dtype,
+                     dropout=self.p, fused=self.fused_gcn, dtype=self.dtype,
                      precision=self.precision, name='gcn')(x, train)
         x = x.reshape(b, t, j * f)
         x = nn.Dense(c, dtype=self.dtype, precision=self.precision,
@@ -131,14 +132,16 @@ class Generator(nn.Module):
         body = _PartDecoder(cfg.out_channels, cfg.num_body_joints,
                             cfg.joint_feat_dim, body_adj, cfg.body_feats,
                             cfg.dropout, cfg.gat_heads, attention_first=True,
-                            extra_post_channel_attn=False, dtype=self.dtype,
+                            extra_post_channel_attn=False,
+                            fused_gcn=cfg.fused_gcn, dtype=self.dtype,
                             precision=self.precision,
                             name='body_decoder')(feats, train)
         hand = _PartDecoder(cfg.out_channels, cfg.num_hand_joints,
                             cfg.joint_feat_dim, hand_adj,
                             cfg.out_feats - cfg.body_feats, cfg.dropout,
                             cfg.gat_heads, attention_first=False,
-                            extra_post_channel_attn=True, dtype=self.dtype,
+                            extra_post_channel_attn=True,
+                            fused_gcn=cfg.fused_gcn, dtype=self.dtype,
                             precision=self.precision,
                             name='hand_decoder')(feats, train)
 

@@ -116,9 +116,22 @@ class GCNStack(nn.Module):
     dropout: float = 0.2
     dtype: Any = jnp.float32
     precision: Any = None
+    #: eval-mode fast path: run all layers as ONE fused Pallas kernel
+    #: (a2m/nn/pallas_gcn.py; measured 1.46x vs the XLA lowering on v5e).
+    #: Opt-in — the Mosaic compile costs ~15 min on the remote-compile
+    #: backend, and training/init always use the XLA path below.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fused and not train and not self.is_initializing():
+            from a2m.nn import pallas_gcn
+            params = pallas_gcn.extract_stack_params(
+                self.variables['params'], self.num_layers)
+            out = pallas_gcn.fused_gcn_stack(
+                x.astype(jnp.float32), params, self.adjacency,
+                heads=self.heads, num_layers=self.num_layers)
+            return out.astype(self.dtype)
         for i in range(self.num_layers):
             residual = x
             if i % 2 == 0:

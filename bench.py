@@ -25,14 +25,16 @@ CLIP_SECONDS = 4.3
 BATCH = 128
 
 
-def build_pipeline(use_pallas: bool = False, dtype=jnp.float32):
+def build_pipeline(use_pallas: bool = False, dtype=jnp.float32,
+                   fused_gcn: bool = False):
     from a2m.audio import frontend
     from a2m.audio.pallas_mel import pallas_log_mel
+    from a2m.config import GeneratorConfig
     from a2m.constants import AUDIO_FS_MAP, FRAMES_PER_WINDOW
     from a2m.models import Generator
 
     spec = frontend.spec_log_mel_512(SR)
-    model = Generator(dtype=dtype)
+    model = Generator(GeneratorConfig(fused_gcn=fused_gcn), dtype=dtype)
     key = jax.random.PRNGKey(0)
     dummy_feats = jnp.zeros((BATCH, FRAMES_PER_WINDOW, 128), jnp.float32)
     variables = jax.jit(model.init)({'params': key, 'dropout': key}, dummy_feats)

@@ -31,8 +31,9 @@ def run_variant(name: str) -> dict:
     if bs:
         bench.BATCH = int(bs)
     use_pallas = name.startswith('pallas')
-    dtype = jnp.bfloat16 if name.endswith('bf16') else jnp.float32
-    pipeline = bench.build_pipeline(use_pallas=use_pallas, dtype=dtype)
+    dtype = jnp.bfloat16 if 'bf16' in name else jnp.float32
+    pipeline = bench.build_pipeline(use_pallas=use_pallas, dtype=dtype,
+                                    fused_gcn='fusedgcn' in name)
 
     rng = np.random.default_rng(0)
     wave = jax.device_put(

@@ -1,0 +1,81 @@
+"""Fused Pallas GCN-stack tests (a2m/nn/pallas_gcn.py).
+
+CPU runs in TPU-interpreter mode; parity golden is the XLA GCNStack.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.lax import Precision
+
+from a2m import constants
+from a2m.nn import pallas_gcn
+from a2m.nn.graph import GCNStack
+
+HAND_ADJ = constants.adjacency_from_edges(constants.hand_edges(), 42)
+BODY_ADJ = constants.adjacency_from_edges(constants.body_edges(), 10)
+
+
+def _setup(adj, f=16, heads=2, seed=0, shape=(2, 3)):
+    stack = GCNStack(f, adj, num_layers=5, heads=heads,
+                     precision=Precision.HIGHEST)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((*shape, adj.shape[0], f)),
+                    jnp.float32)
+    v = stack.init(jax.random.PRNGKey(seed), x)
+    return stack, v, x
+
+
+def test_fused_precise_matches_xla_hand():
+    """f32-matmul kernel == HIGHEST-precision XLA stack to ~1e-5 (exact
+    math parity; the bf16 default is a precision choice on top)."""
+    stack, v, x = _setup(HAND_ADJ)
+    ref = np.asarray(stack.apply(v, x, train=False))
+    got = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, pallas_gcn.extract_stack_params(v['params']), HAND_ADJ,
+        heads=2, precise=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fused_precise_matches_xla_body():
+    stack, v, x = _setup(BODY_ADJ, seed=1)
+    ref = np.asarray(stack.apply(v, x, train=False))
+    got = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, pallas_gcn.extract_stack_params(v['params']), BODY_ADJ,
+        heads=2, precise=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_fused_bf16_close_and_pads_ragged_rows():
+    """Default bf16-matmul mode stays within bf16 tolerance, including the
+    wrap-pad path (N=6 graphs, TILE=16 -> padded)."""
+    stack, v, x = _setup(HAND_ADJ)
+    ref = np.asarray(stack.apply(v, x, train=False))
+    got = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, pallas_gcn.extract_stack_params(v['params']), HAND_ADJ, heads=2))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.01 * scale
+
+
+def test_generator_fused_flag_matches_unfused(rng):
+    """GeneratorConfig.fused_gcn routes eval through the kernel; same param
+    tree, output within bf16-matmul tolerance of the XLA path."""
+    from a2m.config import GeneratorConfig
+    from a2m.models import Generator
+    cfg = GeneratorConfig(in_channels=16, out_channels=16, joint_feat_dim=8,
+                          gat_heads=2)
+    audio = jnp.asarray(rng.standard_normal((1, 64, 128)), jnp.float32)
+    g = Generator(cfg)
+    key = jax.random.PRNGKey(0)
+    v = g.init({'params': key, 'dropout': key}, audio)
+    ref = np.asarray(g.apply(v, audio, train=False))
+    g_fused = Generator(dataclasses.replace(cfg, fused_gcn=True))
+    # identical param tree: the fused path reuses the XLA-path params
+    v2 = g_fused.init({'params': key, 'dropout': key}, audio)
+    assert (jax.tree.structure(v2['params'])
+            == jax.tree.structure(v['params']))
+    got = np.asarray(g_fused.apply(v, audio, train=False))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.02 * scale
