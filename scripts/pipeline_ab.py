@@ -6,7 +6,9 @@ Variants: frontend (XLA windowed-DFT vs fused Pallas) x model compute dtype
 variant; used for the README A/B table (VERDICT r1 #3).
 
 Usage: python scripts/pipeline_ab.py [xla_f32 pallas_f32 xla_bf16 pallas_bf16]
-Each variant takes an optional @<batch> suffix (e.g. xla_f32@256).
+Each variant takes an optional @<batch> suffix (e.g. xla_f32@256); add
+``_fusedgcn`` to route the generator's GCN stacks through the fused Pallas
+kernel (e.g. xla_f32_fusedgcn@128 — expect a ~25 min first compile).
 """
 
 from __future__ import annotations
