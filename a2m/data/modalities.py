@@ -183,10 +183,18 @@ class Audio(Modality):
 
     def silence(self, y: np.ndarray, sr: int, eps: float = 1e-6
                 ) -> np.ndarray:
-        from a2m.audio import frontend, mel_np
+        """Reference-format silence stream (audio.py:129-172).
+
+        Preprocessing is host-side, so the webrtcvad-grade GMM VAD
+        (`a2m/audio/vad.py`, 100% on the speech-like truth fixture) does
+        the decisions; the jittable energy VAD
+        (`a2m.audio.frontend.silence_mask`, 98% agreement) remains the
+        on-device option.
+        """
+        from a2m.audio import mel_np, vad
         y16 = mel_np.resample_poly(np.asarray(y, dtype=np.float64), int(sr),
                                    16000).astype(np.float32)
-        return np.asarray(frontend.silence_mask(y16))
+        return vad.silence_stream(y16)
 
     @property
     def fs_map(self) -> dict[str, int]:

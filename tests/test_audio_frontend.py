@@ -249,6 +249,22 @@ def test_silence_stream_honors_frame_ms():
     assert agree > 0.9                         # coarser frames, same calls
 
 
+def test_audio_modality_silence_uses_gmm_vad():
+    """The preprocessing `audio/silence` channel routes through the GMM VAD
+    (host-side, webrtcvad-grade), matching its decisions exactly."""
+    from a2m.audio import mel_np, vad
+    from a2m.data.modalities import Audio
+    y, truth = _speech_like(sr=45600)
+    a = Audio.__new__(Audio)                 # silence() uses no init state
+    got = a.silence(y, 45600)
+    y16 = mel_np.resample_poly(y.astype(np.float64), 45600,
+                               16000).astype(np.float32)
+    np.testing.assert_array_equal(got, vad.silence_stream(y16))
+    silent = got[0::2].astype(bool)
+    n = min(len(silent), len(truth))
+    assert (silent[:n] == ~truth[:n]).mean() >= 0.9
+
+
 def test_energy_vad_vs_gmm_vad_agreement():
     """Bound the documented deviation: the jittable energy VAD's decisions
     vs the GMM VAD on the speech-like fixture (PARITY.md records this)."""
