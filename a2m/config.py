@@ -50,6 +50,11 @@ class DataConfig:
     weighted: int = 0               # weighted sampler draws per epoch
     repeat_text: int = 1
     filler: int = 0
+    # multi-host data feeding: each process loads intervals[i::count]
+    # (a2m/parallel/mesh.py::host_interval_slice).  None = no sharding;
+    # process_count=-1 resolves both from jax.process_index()/count()
+    process_index: int | None = None
+    process_count: int | None = None
 
 
 @dataclass(frozen=True)

@@ -17,6 +17,7 @@ the torch sampler strategies), redesigned for a TPU host pipeline:
 from __future__ import annotations
 
 import bisect
+import dataclasses
 from pathlib import Path
 from typing import Sequence
 
@@ -31,6 +32,44 @@ STOPWORDS = frozenset(
     'a an and are as at be by for from has he her his i in is it its of on '
     'or she so that the their them they this to was we were will with you '
     'your um uh oh like just'.split())
+
+
+def read_text_meta(path2h5):
+    """Per-interval word-alignment table (reference dataUtils.py:545-548:
+    ``pd.read_hdf(path2h5, 'text/meta')``).
+
+    Tries the reference's pandas-HDF (pytables) format first; this image has
+    no pytables, so a plain-h5 layout ``text/meta/{start_frame, end_frame,
+    Word}`` (parallel datasets, frames at pose fps) is equally supported —
+    :func:`a2m.data.synthetic.synth_interval` writes it.  Returns ``None``
+    only when the interval has no ``text/meta`` at all; a present-but-
+    unreadable group raises (the reference's blanket ``except`` would
+    silently degrade to the tokens-only alignment path).
+    """
+    import pandas as pd
+    try:
+        return pd.read_hdf(path2h5, key='text/meta')
+    except ImportError:
+        pass                                   # no pytables in this image
+    except (KeyError, ValueError, OSError, TypeError):
+        pass                                   # not pandas-format; fall back
+    import h5py
+    with hdf5_io.h5_open(path2h5, 'r') as h5:
+        if 'text/meta' not in h5:
+            return None
+        grp = h5['text/meta']
+        required = ('start_frame', 'end_frame', 'Word')
+        if isinstance(grp, h5py.Group) and all(k in grp for k in required):
+            words = [w.decode() if isinstance(w, bytes) else str(w)
+                     for w in grp['Word'][()]]
+            return pd.DataFrame({
+                'start_frame': grp['start_frame'][()].astype(np.int64),
+                'end_frame': grp['end_frame'][()].astype(np.int64),
+                'Word': words})
+        raise ValueError(
+            f'{path2h5}: text/meta exists but is neither readable '
+            f'pandas-HDF (pytables unavailable?) nor a group with '
+            f'datasets {required}')
 
 
 class IntervalData:
@@ -60,13 +99,18 @@ class IntervalData:
             self.data.append(arr)
             self.shapes.append(arr.shape)
 
+        # cached per-interval normalization stats for pose modalities
+        # (reference dataUtils.py:563-582, applied per window at :656-663)
+        self.norm_stats: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for modality in self.modalities:
+            if 'pose' in modality:
+                stats = hdf5_io.load_norm_stats(self.path2h5, modality)
+                if stats is not None:
+                    self.norm_stats[modality] = stats
+
         self.text_df = None
         if self.text_in_modalities:
-            try:
-                import pandas as pd
-                self.text_df = pd.read_hdf(self.path2h5, key='text/meta')
-            except Exception:
-                self.text_df = None
+            self.text_df = read_text_meta(self.path2h5)
 
         self.windows: dict[str, WindowIndex] = {}
         self.update_idx_list(self.time, self.window_hop)
@@ -87,6 +131,11 @@ class IntervalData:
         for i, modality in enumerate(self.modalities):
             w = self.windows[modality]
             sliced = w.slice(self.data[i], idx)
+            if modality in self.norm_stats:
+                # cached-stat normalization, std clamped like the reference
+                # (dataUtils.py:656-663)
+                mean, std = self.norm_stats[modality]
+                sliced = (sliced - mean) / np.where(std < 1e-7, 1.0, std)
             item[modality] = sliced
             start_time = int(w.starts[idx]) // w.stride / self.fs_new[-1]
             if 'text' in modality:
@@ -365,7 +414,8 @@ class DataLoader(mods.Modality):
                  style_iters=0, num_training_sample=None, sample_all_styles=0,
                  repeat_text=1, quantile_sample=None,
                  quantile_num_training_sample=None, weighted=0, filler=False,
-                 num_training_iters=None, seed=0, use_pallas=None):
+                 num_training_iters=None, seed=0, use_pallas=None,
+                 max_intervals=None, process_index=None, process_count=None):
         self.path2data = path2data
         if isinstance(speaker, str):
             speaker = [speaker]
@@ -388,6 +438,13 @@ class DataLoader(mods.Modality):
         self.filler = filler
         self.num_training_iters = num_training_iters
         self.seed = seed
+        self.max_intervals = max_intervals
+        # multi-host data feeding (SURVEY §2.5 DP row): every split is
+        # strided across processes so each host loads and feeds a disjoint
+        # interval shard over DCN; None = this process's jax identity
+        # (identity slice in single-process runs)
+        self.process_index = process_index
+        self.process_count = process_count
         self.text_in_modalities = any('text' in m for m in self.modalities)
         self.missing = hdf5_io.MissingData(path2data)
 
@@ -459,6 +516,23 @@ class DataLoader(mods.Modality):
             train_intervals = train_intervals[:5]
             dev_intervals = dev_intervals[:5]
             test_intervals = test_intervals[:5]
+        if self.max_intervals is not None:
+            # configurable split truncation (generalizes the reference's
+            # hard-coded 5-interval load_data=False mode, dataUtils.py:231-237)
+            train_intervals = train_intervals[:self.max_intervals]
+            dev_intervals = dev_intervals[:self.max_intervals]
+            test_intervals = test_intervals[:self.max_intervals]
+
+        if (self.process_count is not None
+                or self.process_index is not None):  # multi-host sharding
+            from a2m.parallel.mesh import host_interval_slice
+            pc = None if self.process_count == -1 else self.process_count
+            train_intervals = host_interval_slice(
+                train_intervals, self.process_index, pc)
+            dev_intervals = host_interval_slice(
+                dev_intervals, self.process_index, pc)
+            test_intervals = host_interval_slice(
+                test_intervals, self.process_index, pc)
 
         (train_intervals, dev_intervals, test_intervals,
          self.train_intervals_dict) = self.update_intervals(
@@ -626,3 +700,48 @@ class DataLoader(mods.Modality):
 
 # reference-compatible alias
 Data_Loader = DataLoader
+
+
+#: DataConfig field -> DataLoader kwarg.  Every DataConfig field MUST appear
+#: here (loader_from_config raises otherwise, and tests/test_data.py asserts
+#: the mapping is total) so new config surface can never silently not reach
+#: the loader.
+DATACONFIG_FIELD_MAP: dict[str, str] = {
+    'path2data': 'path2data',
+    'speakers': 'speaker',
+    'modalities': 'modalities',
+    'fs_new': 'fs_new',
+    'batch_size': 'batch_size',
+    'window_hop': 'window_hop',
+    'window_seconds': 'time',
+    'shuffle': 'shuffle',
+    'seed': 'seed',
+    'max_intervals_per_split': 'max_intervals',
+    'style_iters': 'style_iters',
+    'num_training_sample': 'num_training_sample',
+    'quantile_sample': 'quantile_sample',
+    'quantile_num_training_sample': 'quantile_num_training_sample',
+    'weighted': 'weighted',
+    'repeat_text': 'repeat_text',
+    'filler': 'filler',
+    'process_index': 'process_index',
+    'process_count': 'process_count',
+}
+
+
+def loader_from_config(data_cfg, audio_cfg=None) -> DataLoader:
+    """Construct a DataLoader from a :class:`a2m.config.DataConfig`, mapping
+    EVERY field through :data:`DATACONFIG_FIELD_MAP` (the reference
+    constructor surface, dataUtils.py:38-57)."""
+    kwargs = {}
+    for f in dataclasses.fields(type(data_cfg)):
+        if f.name not in DATACONFIG_FIELD_MAP:
+            raise TypeError(
+                f'DataConfig field {f.name!r} has no DataLoader mapping; '
+                f'add it to DATACONFIG_FIELD_MAP')
+        val = getattr(data_cfg, f.name)
+        kwargs[DATACONFIG_FIELD_MAP[f.name]] = (
+            list(val) if isinstance(val, tuple) else val)
+    if audio_cfg is not None:
+        kwargs['use_pallas'] = audio_cfg.pallas_mode()
+    return DataLoader(**kwargs)

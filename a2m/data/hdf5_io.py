@@ -60,6 +60,28 @@ def is_dataset_in_file(filename, key: str) -> bool:
         return key in h5
 
 
+def load_norm_stats(filename, modality: str
+                    ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Cached per-interval normalization stats for a pose modality
+    (reference MiniData._load_normalization_stats, dataUtils.py:563-582):
+    ``<modality with data->norm_stats>/{mean,std}`` as float32, or ``None``
+    when the interval has no cached stats.  A present-but-malformed group
+    raises (the reference swallows every error silently)."""
+    key = modality.replace('data', 'norm_stats')
+    if key == modality:            # e.g. 'pose/normalize' has no stats key
+        return None
+    with h5_open(filename, 'r') as h5:
+        if key not in h5:
+            return None
+        grp = h5[key]
+        if not isinstance(grp, h5py.Group) or not {'mean', 'std'} <= set(grp):
+            raise ValueError(
+                f'{filename}: {key} exists but is not a group with '
+                f'mean/std datasets')
+        return (grp['mean'][()].astype(np.float32),
+                grp['std'][()].astype(np.float32))
+
+
 def append(filename, key: str, data) -> None:
     """Create file if needed; create-or-replace ``key``."""
     with h5_open(filename, 'a') as h5:

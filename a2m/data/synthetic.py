@@ -49,13 +49,22 @@ def synth_pose(n_frames: int, rng: np.random.Generator,
     return pose.reshape(n_frames, 104)
 
 
+TEXT_VOCAB = ('hello', 'gesture', 'the', 'motion', 'speech', 'and', 'wave',
+              'point', 'to', 'arm')          # incl. stopwords for filler masks
+
+
 def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
-                   with_text: bool = False, correlated: bool = False) -> None:
+                   with_text: bool = False, correlated: bool = False,
+                   with_norm_stats: bool = False) -> None:
     """Write one interval .h5 with pose/audio(/text) datasets.
 
     ``correlated=True`` makes the pose motion amplitude follow a smooth
     "audio energy" envelope that is also written into the mel features —
     a learnable audio->motion mapping for end-to-end training validation.
+    ``with_text`` writes word-piecewise-constant ``text/{w2v,bert,tokens}``
+    plus the ``text/meta`` alignment table (plain-h5 layout, see
+    :func:`a2m.data.dataset.read_text_meta`).  ``with_norm_stats`` writes
+    cached ``pose/norm_stats/{mean,std}`` (reference dataUtils.py:563-582).
     """
     n_pose = int(duration_s * constants.POSE_FPS)
     fs512 = constants.AUDIO_FS_MAP['log_mel_512']
@@ -90,21 +99,38 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
         h5.create_dataset('audio/log_mel_512', data=mel512.astype(np.float64))
         h5.create_dataset('audio/log_mel_400', data=mel400.astype(np.float64))
         h5.create_dataset('audio/silence', data=silence)
+        if with_norm_stats:
+            h5.create_dataset('pose/norm_stats/mean',
+                              data=pose.mean(axis=0).astype(np.float64))
+            h5.create_dataset('pose/norm_stats/std',
+                              data=pose.std(axis=0).astype(np.float64))
         if with_text:
+            # word-piecewise-constant features (so the tokens-only boundary
+            # detection path in IntervalData also finds real word starts)
             n_words = max(2, int(duration_s))
-            h5.create_dataset('text/w2v',
-                              data=rng.standard_normal((n_pose, 300)))
-            h5.create_dataset('text/bert',
-                              data=rng.standard_normal((n_pose, 768))
-                              .astype(np.float32))
-            h5.create_dataset('text/tokens',
-                              data=rng.integers(0, 30000, n_pose))
+            bounds = np.linspace(0, n_pose, n_words + 1).astype(np.int64)
+            words = [TEXT_VOCAB[w % len(TEXT_VOCAB)] for w in range(n_words)]
+            w2v = np.zeros((n_pose, 300))
+            bert = np.zeros((n_pose, 768), np.float32)
+            tokens = np.zeros(n_pose, np.int64)
+            for st, en in zip(bounds[:-1], bounds[1:]):
+                w2v[st:en] = rng.standard_normal(300)
+                bert[st:en] = rng.standard_normal(768).astype(np.float32)
+                tokens[st:en] = rng.integers(1, 30000)
+            h5.create_dataset('text/w2v', data=w2v)
+            h5.create_dataset('text/bert', data=bert)
+            h5.create_dataset('text/tokens', data=tokens)
+            h5.create_dataset('text/meta/start_frame', data=bounds[:-1])
+            h5.create_dataset('text/meta/end_frame', data=bounds[1:])
+            h5.create_dataset('text/meta/Word',
+                              data=np.array(words, dtype='S16'))
 
 
 def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                         intervals_per_speaker: int = 4,
                         duration_s: float = 12.0, seed: int = 0,
                         with_text: bool = False, correlated: bool = False,
+                        with_norm_stats: bool = False,
                         splits=('train', 'train', 'dev', 'test')) -> Path:
     """Build a synthetic PATS tree under ``root`` and return its path.
 
@@ -125,6 +151,7 @@ def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                              video_link='', video_fn='', yt_id=''))
             synth_interval(hdf5_io.interval_path(root, sp, str(iid)),
                            duration_s, rng, with_text=with_text,
-                           correlated=correlated)
+                           correlated=correlated,
+                           with_norm_stats=with_norm_stats)
     pd.DataFrame(rows).to_csv(root / 'cmu_intervals_df.csv', index=False)
     return root

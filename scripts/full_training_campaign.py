@@ -1,0 +1,180 @@
+"""Full-size TPU training campaign (VERDICT r2 item 1).
+
+Trains the flagship 256-channel default config at reference scale
+(`version5_model_train.py:184-205` hyperparameters: batch 128, 8 speakers,
+window_hop 5, dynamic controller) on a realistic-size correlated synthetic
+multi-speaker PATS tree, long enough to observe:
+
+* a monotone-ish decreasing val G trajectory at full model size,
+* the controller's skip-D / frequency / LR transitions actually firing
+  (`version5_model_train.py:62-133` semantics at scale),
+* harness PCK of the trained best checkpoint clearly above the
+  untrained-init PCK (the reference never wires PCK at all — SURVEY §4).
+
+Artifacts: per-epoch JSON progress -> ``<save>/campaign_progress.json``;
+final summary (trajectory + controller events + PCK before/after) printed
+as JSON and written to ``<save>/campaign_summary.json``.
+
+Usage: python scripts/full_training_campaign.py [epochs] [--fresh]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+ROOT = pathlib.Path('/tmp/a2m_campaign')
+SPEAKERS = ('oliver', 'noah', 'seth', 'shelly',
+            'ellen', 'angelica', 'almaram', 'chemistry')
+
+
+def build_dataset() -> pathlib.Path:
+    """8 speakers x 5 intervals x 120 s, 3/1/1 train/dev/test — ~8.2k train
+    windows (65 batches @ B=128), correlated audio->motion structure."""
+    from a2m.data.synthetic import make_synthetic_pats
+    data = ROOT / 'data'
+    marker = data / '.complete'
+    if marker.exists():
+        return data
+    if data.exists():
+        shutil.rmtree(data)
+    t0 = time.perf_counter()
+    make_synthetic_pats(data, speakers=SPEAKERS, intervals_per_speaker=5,
+                        duration_s=120.0, seed=0, correlated=True,
+                        splits=('train', 'train', 'train', 'dev', 'test'))
+    marker.touch()
+    print(f'dataset built in {time.perf_counter() - t0:.1f}s', flush=True)
+    return data
+
+
+def instrument_controller(ctrl, events: list):
+    """Record every controller decision change (the reference prints these —
+    version5_model_train.py:94,100,120,127,411)."""
+    orig_freq = ctrl.adjust_training_frequency
+    orig_lr = ctrl.adjust_learning_rates
+    orig_skip = ctrl.should_train_discriminator
+    state = dict(skips=0, epoch=0)
+
+    def adj_freq(epoch):
+        state['epoch'] = epoch
+        before = (ctrl.g_train_freq, ctrl.d_train_freq)
+        out = orig_freq(epoch)
+        if out != before:
+            events.append(dict(epoch=epoch, kind='freq',
+                               g=out[0], d=out[1],
+                               prev_g=before[0], prev_d=before[1]))
+        return out
+
+    def adj_lr(epoch):
+        before = (ctrl.g_lr_current, ctrl.d_lr_current)
+        out = orig_lr(epoch)
+        if out != before:
+            events.append(dict(epoch=epoch, kind='lr',
+                               g_lr=out[0], d_lr=out[1]))
+        return out
+
+    def skip():
+        out = orig_skip()
+        if not out:
+            state['skips'] += 1
+        return out
+
+    ctrl.adjust_training_frequency = adj_freq
+    ctrl.adjust_learning_rates = adj_lr
+    ctrl.should_train_discriminator = skip
+    return state
+
+
+def main(epochs: int = 80, fresh: bool = False) -> None:
+    if fresh and ROOT.exists():
+        shutil.rmtree(ROOT)
+    data = build_dataset()
+
+    from a2m.config import Config, DataConfig, TrainConfig
+    from a2m.data import DataLoader
+    from a2m.train.loop import Trainer
+
+    save = ROOT / 'save'
+    cfg = Config(
+        data=DataConfig(path2data=str(data), speakers=SPEAKERS),
+        train=TrainConfig(n_epochs=epochs, save_every_epochs=25,
+                          save_dir=str(save), resume=True,
+                          log_every_batches=50),
+    )
+    dl = DataLoader(path2data=cfg.data.path2data,
+                    speaker=list(cfg.data.speakers),
+                    modalities=list(cfg.data.modalities),
+                    fs_new=list(cfg.data.fs_new),
+                    batch_size=cfg.data.batch_size,
+                    window_hop=cfg.data.window_hop,
+                    shuffle=cfg.data.shuffle, seed=cfg.data.seed)
+    print(f'train batches/epoch: {len(dl.train)}  dev: {len(dl.dev)}  '
+          f'test: {len(dl.test)}', flush=True)
+
+    trainer = Trainer(cfg, dl)
+    events: list[dict] = []
+    skip_state = instrument_controller(trainer.controller, events)
+
+    epoch_log: list[dict] = []
+    progress_path = save / 'campaign_progress.json'
+    best_val = min(trainer.loss_history['val_g'], default=float('inf'))
+    for epoch in range(trainer.start_epoch, epochs):
+        t0 = time.perf_counter()
+        skip_before = skip_state['skips']
+        trainer.train_epoch(epoch)
+        val = trainer.validate()
+        wall = time.perf_counter() - t0
+        trainer.loss_history['val_g'].append(val.get('val_g', 0.0))
+        trainer.loss_history['val_d'].append(val.get('val_d', 0.0))
+        row = dict(epoch=epoch, wall_s=round(wall, 1),
+                   g_freq=trainer.controller.g_train_freq,
+                   d_freq=trainer.controller.d_train_freq,
+                   g_lr=trainer.controller.g_lr_current,
+                   d_lr=trainer.controller.d_lr_current,
+                   skip_d_batches=skip_state['skips'] - skip_before,
+                   **{k: round(float(v), 4) for k, v in val.items()})
+        epoch_log.append(row)
+        print(json.dumps(row), flush=True)
+
+        if val.get('val_g', float('inf')) < best_val:
+            best_val = val['val_g']
+            trainer.ckpt.save_best_generator(trainer.g_state)
+            print(f'new best G at epoch {epoch} (val_g {best_val:.4f})',
+                  flush=True)
+        if (epoch + 1) % cfg.train.save_every_epochs == 0 or epoch == epochs - 1:
+            trainer.ckpt.save(epoch, trainer.g_state, trainer.d_state,
+                              trainer.controller.state_dict(), trainer.mean,
+                              trainer.std,
+                              extra=dict(loss_history=trainer.loss_history))
+        progress_path.write_text(json.dumps(
+            dict(epochs=epoch_log, events=events)))
+
+    # -- PCK: untrained init vs trained best checkpoint --------------------
+    from a2m.eval.harness import evaluate_speaker
+    pck = {}
+    for name, ckpt in (('untrained', None), ('trained', str(save / 'ckpt'))):
+        r = evaluate_speaker(str(data), 'oliver', ckpt_dir=ckpt,
+                             batch_size=128)
+        pck[name] = dict(pck=r['pck'], l2=r['l2'], n_clips=r['n_clips'])
+        print(f'PCK[{name}] = {r["pck"]:.4f}  L2 = {r["l2"]:.2f}', flush=True)
+
+    summary = dict(epochs_run=len(epoch_log), events=events,
+                   val_g=[e['val_g'] for e in epoch_log],
+                   val_d=[e['val_d'] for e in epoch_log],
+                   best_val_g=best_val, pck=pck,
+                   total_skip_d=skip_state['skips'],
+                   epoch_log=epoch_log)
+    (save / 'campaign_summary.json').write_text(json.dumps(summary))
+    print('CAMPAIGN_SUMMARY ' + json.dumps(
+        {k: summary[k] for k in ('epochs_run', 'best_val_g', 'pck',
+                                 'total_skip_d')}), flush=True)
+
+
+if __name__ == '__main__':
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    main(int(args[0]) if args else 80, fresh='--fresh' in sys.argv)

@@ -200,6 +200,193 @@ def test_load_data_false_truncates(pats_root):
     assert len(loader.datasets['train'].datasets) <= 5
 
 
+def test_max_intervals_truncates(pats_root):
+    loader = DataLoader(path2data=pats_root, speaker=['oliver', 'noah'],
+                        modalities=['pose/data', 'audio/log_mel_512'],
+                        fs_new=[15, 15], batch_size=4, window_hop=5,
+                        max_intervals=1)
+    for split in ('train', 'dev', 'test'):
+        assert len(loader.datasets[split].datasets) == 1
+
+
+# ---------------------------------------------------------------------------
+# cached per-interval norm stats (reference dataUtils.py:563-582, 656-663)
+# ---------------------------------------------------------------------------
+
+def test_norm_stats_read_path(tmp_path):
+    root = make_synthetic_pats(tmp_path / 'ns', speakers=('oliver',),
+                               intervals_per_speaker=2, duration_s=12.0,
+                               with_norm_stats=True)
+    fp = hdf5_io.interval_path(root, 'oliver', '100001')
+    stats = hdf5_io.load_norm_stats(fp, 'pose/data')
+    assert stats is not None
+    mean, std = stats
+    assert mean.shape == (104,) and std.shape == (104,)
+
+    from a2m.data import load_modality_classes
+    classes = load_modality_classes(['pose/data'], root, ['oliver'])
+    iv = IntervalData(fp, ['pose/data'], [15], 4.3, classes, window_hop=5)
+    assert 'pose/data' in iv.norm_stats
+    got = iv[0]['pose/data']
+    raw = hdf5_io.load_array(fp, 'pose/data')[0:64]
+    expect = (raw - mean) / np.where(std < 1e-7, 1.0, std)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    # windows are standardized (approximately zero-mean over the interval)
+    assert abs(got.mean()) < 2.0
+
+    # 'pose/normalize' has no norm_stats key derivation -> None, no error
+    assert hdf5_io.load_norm_stats(fp, 'pose/normalize') is None
+
+
+def test_norm_stats_malformed_raises(tmp_path):
+    root = make_synthetic_pats(tmp_path / 'nsbad', speakers=('oliver',),
+                               intervals_per_speaker=1, duration_s=12.0)
+    fp = hdf5_io.interval_path(root, 'oliver', '100001')
+    with hdf5_io.h5_open(fp, 'a') as h5:
+        h5.create_dataset('pose/norm_stats/mean', data=np.zeros(104))
+        # missing std
+    with pytest.raises(ValueError, match='norm_stats'):
+        hdf5_io.load_norm_stats(fp, 'pose/data')
+
+
+# ---------------------------------------------------------------------------
+# text modality through the loader (reference dataUtils.py:660-712)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def text_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('pats_text')
+    return make_synthetic_pats(root, speakers=('oliver', 'noah'),
+                               intervals_per_speaker=4, duration_s=12.0,
+                               with_text=True)
+
+
+def test_text_meta_reader(text_root):
+    from a2m.data import read_text_meta
+    fp = hdf5_io.interval_path(text_root, 'oliver', '100001')
+    df = read_text_meta(fp)
+    assert df is not None
+    assert set(df.columns) >= {'start_frame', 'end_frame', 'Word'}
+    assert len(df) >= 2 and df['start_frame'].iloc[0] == 0
+    # no text/meta at all -> None
+    from a2m.data.synthetic import synth_interval
+    bare = text_root / 'bare.h5'
+    synth_interval(bare, 6.0, np.random.default_rng(0), with_text=False)
+    assert read_text_meta(bare) is None
+
+
+def test_text_meta_malformed_raises(text_root, tmp_path):
+    from a2m.data import read_text_meta
+    bad = tmp_path / 'bad_meta.h5'
+    from a2m.data.synthetic import synth_interval
+    synth_interval(bad, 6.0, np.random.default_rng(0), with_text=False)
+    with hdf5_io.h5_open(bad, 'a') as h5:
+        h5.create_dataset('text/meta/start_frame', data=np.arange(3))
+        # missing end_frame/Word
+    with pytest.raises(ValueError, match='text/meta'):
+        read_text_meta(bad)
+
+
+def test_text_through_loader_repeat(text_root):
+    """modalities=[..., 'text/w2v'] with repeat_text=1 + filler: padded
+    batches carry text/filler and text/token_duration."""
+    dl = DataLoader(path2data=text_root, speaker=['oliver', 'noah'],
+                    modalities=['pose/data', 'audio/log_mel_512', 'text/w2v'],
+                    fs_new=[15, 15, 15], batch_size=8, window_hop=5,
+                    filler=1, seed=0)
+    batch = next(iter(dl.train))
+    assert batch['text/w2v'].shape == (8, 64, 300)
+    assert batch['text/filler'].shape == (8, 64)       # frame-repeated mask
+    assert 'text/token_duration' in batch
+    # the vocab contains stopwords -> some filler frames are 1 somewhere
+    total = sum(b['text/filler'].sum() for b in dl.train)
+    assert total > 0
+    # durations of each sample's words cover the 64-frame window
+    dur = batch['text/token_duration']
+    lens = batch.get('text/token_duration_len')
+    for i in range(dur.shape[0]):
+        k = int(lens[i]) if lens is not None else dur.shape[1]
+        assert dur[i, :k].sum() == 64
+
+
+def test_text_through_loader_norepeat(text_root):
+    """repeat_text=0 collapses text to one vector per word (ragged ->
+    padded with _len)."""
+    dl = DataLoader(path2data=text_root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512', 'text/w2v'],
+                    fs_new=[15, 15, 15], batch_size=4, window_hop=5,
+                    repeat_text=0, filler=1, seed=0)
+    batch = next(iter(dl.train))
+    assert batch['text/w2v'].shape[0] == 4
+    n_words = batch['text/w2v'].shape[1]
+    assert 1 <= n_words < 64                 # per-word, not per-frame
+    assert batch['text/filler'].shape[1] == n_words
+    # ragged word counts across a batch are padded with _len bookkeeping
+    if 'text/w2v_len' in batch:
+        assert batch['text/w2v_len'].shape == (4,)
+    # word boundaries match the fixture's text/meta table
+    from a2m.data import read_text_meta
+    iv = dl.datasets['train'].datasets[0]
+    df = read_text_meta(iv.path2h5)
+    item = iv[0]
+    in_window = df[(0 <= df['end_frame']) & (64 > df['start_frame'])]
+    assert item['text/w2v'].shape[0] == len(in_window)
+
+
+# ---------------------------------------------------------------------------
+# config -> loader plumbing (every DataConfig field reaches DataLoader)
+# ---------------------------------------------------------------------------
+
+def test_dataconfig_field_map_total():
+    import dataclasses
+    from a2m.config import DataConfig
+    from a2m.data import DATACONFIG_FIELD_MAP
+    assert ({f.name for f in dataclasses.fields(DataConfig)}
+            == set(DATACONFIG_FIELD_MAP))
+
+
+def test_loader_from_config(text_root):
+    from a2m.config import DataConfig
+    from a2m.data import loader_from_config
+    cfg = DataConfig(path2data=str(text_root), speakers=('oliver',),
+                     modalities=('pose/data', 'audio/log_mel_512',
+                                 'text/w2v'),
+                     fs_new=(15, 15, 15), batch_size=4, window_hop=5,
+                     max_intervals_per_split=1, repeat_text=0, filler=1,
+                     seed=3)
+    dl = loader_from_config(cfg)
+    assert dl.max_intervals == 1 and dl.repeat_text == 0 and dl.filler == 1
+    assert dl.time == cfg.window_seconds and dl.seed == 3
+    assert len(dl.datasets['train'].datasets) == 1
+    batch = next(iter(dl.train))
+    assert 'text/filler' in batch
+
+
+# ---------------------------------------------------------------------------
+# multi-host data feeding (SURVEY §2.5 DP row)
+# ---------------------------------------------------------------------------
+
+def test_multihost_disjoint_complete(pats_root):
+    def intervals_of(dl, split):
+        from pathlib import Path
+        return {Path(d.path2h5).stem for d in dl.datasets[split].datasets}
+
+    kw = dict(path2data=pats_root, speaker=['oliver', 'noah'],
+              modalities=['pose/data', 'audio/log_mel_512'],
+              fs_new=[15, 15], batch_size=4, window_hop=5)
+    full = DataLoader(**kw)
+    hosts = [DataLoader(**kw, process_index=i, process_count=2)
+             for i in range(2)]
+    for split in ('train', 'dev', 'test'):
+        shards = [intervals_of(h, split) for h in hosts]
+        assert not (shards[0] & shards[1])                   # disjoint
+        assert shards[0] | shards[1] == intervals_of(full, split)  # complete
+    # each host has an independent batcher over its shard
+    assert len(hosts[0].train) >= 1 and len(hosts[1].train) >= 1
+    b0 = next(iter(hosts[0].train))
+    assert b0['pose/data'].shape == (4, 64, 104)
+
+
 # ---------------------------------------------------------------------------
 # normalization
 # ---------------------------------------------------------------------------
