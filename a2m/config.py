@@ -94,6 +94,12 @@ class DiscriminatorConfig:
     out_shape: int = 1
     joint_feat_dim: int = 64
     gat_heads: int = 4
+    # optional audio conditioning of D (real_motion_model.py:564,624-628):
+    # the train/eval steps pass the batch's log-mel features into every D
+    # forward (adaptive-pooled onto D's time axis and concatenated before
+    # the logits conv).  Off by default — the reference defines the branch
+    # but never drives it either
+    audio_fusion: bool = False
 
 
 @dataclass(frozen=True)

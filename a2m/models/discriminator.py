@@ -47,9 +47,9 @@ class _ConvBNLReLU(nn.Module):
                     padding=[(self.padding, self.padding)],
                     feature_group_count=self.groups, dtype=self.dtype,
                     precision=self.precision, name='conv')(x)
-        # f32 BatchNorm (see a2m/nn/layers.py: bf16 variance cancellation)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='bn')(x)
+        # f32 mask-aware BatchNorm (see a2m/nn/layers.py / a2m/nn/masking.py)
+        from a2m.nn.masking import MaskedBatchNorm
+        x = MaskedBatchNorm(use_running_average=not train, name='bn')(x)
         x = nn.leaky_relu(x, 0.2).astype(self.dtype)
         return nn.Dropout(self.p, deterministic=not train)(x)
 

@@ -124,14 +124,18 @@ class GCNStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.fused and not train and not self.is_initializing():
+        if self.fused and not self.is_initializing():
             from a2m.nn import pallas_gcn
             params = pallas_gcn.extract_stack_params(
                 self.variables['params'], self.num_layers)
-            out = pallas_gcn.fused_gcn_stack(
+            # trainable fused path: eval kernel as the primal, fused
+            # forward-with-residuals + fused backward under jax.grad
+            # (a2m/nn/pallas_gcn.py::fused_gcn_stack_trainable)
+            out = pallas_gcn.fused_gcn_stack_trainable(
                 x.astype(jnp.float32), params, self.adjacency,
                 heads=self.heads, num_layers=self.num_layers)
-            return out.astype(self.dtype)
+            out = out.astype(self.dtype)
+            return nn.Dropout(self.dropout, deterministic=not train)(out)
         for i in range(self.num_layers):
             residual = x
             if i % 2 == 0:

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from a2m.nn.masking import MaskedBatchNorm
+
 
 def torch_pad(kernel_size, stride) -> Any:
     """Reference padding rule (model_layers.py:68-82): int((k - s) / 2),
@@ -83,9 +85,11 @@ class ConvNormRelu(nn.Module):
                     name='conv')(x)
         x = nn.Dropout(self.p, deterministic=not train)(x)
         # BatchNorm always computes in f32: bf16 fast-variance cancellation
-        # (E[x^2] - E[x]^2) produces negative variances -> NaN
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='norm')(x)
+        # (E[x^2] - E[x]^2) produces negative variances -> NaN.  Mask-aware:
+        # wrap-padded batch rows are excluded from the moments (a2m/nn/
+        # masking.py) — the reference trains true ragged batches
+        x = MaskedBatchNorm(use_running_average=not train,
+                            name='norm')(x)
         x = nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)
         return x.astype(self.dtype)
 
@@ -186,8 +190,7 @@ class ConvTranspose1D(nn.Module):
             dimension_numbers=('NWC', 'WIO', 'NWC'),
             precision=self.precision)
         y = y + bias
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32, name='bn')(y)
+        y = MaskedBatchNorm(use_running_average=not train, name='bn')(y)
         return nn.relu(y).astype(self.dtype)
 
 

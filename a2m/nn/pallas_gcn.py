@@ -23,6 +23,7 @@ precision.  The attention application is a 3-D batched matmul
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -30,6 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_ctx():
+    """TPU-interpreter mode for non-TPU backends, active at the pallas_call
+    site itself (backward kernels bind outside any caller-level context)."""
+    if jax.default_backend() != 'tpu':
+        return pltpu.force_tpu_interpret_mode()
+    return contextlib.nullcontext()
 
 #: rows (graph instances) processed per program — VMEM-bound: the unrolled
 #: per-head attention keeps several (TILE, J, J) and (TILE*J, H*F) buffers
@@ -182,9 +191,363 @@ def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False):
         out_specs=pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, j, f), x.dtype),
     )
-    out = call(xf, adj, mask, *params)
+    with _interpret_ctx():
+        out = call(xf, adj, mask, *params)
     return out[:n].reshape(*lead, j, f)
 
 
 _fused_jit = jax.jit(_fused_impl,
                      static_argnames=('heads', 'num_layers', 'precise'))
+
+
+# ===========================================================================
+# Trainable path: custom VJP with a fused backward kernel
+# ===========================================================================
+#
+# The eval kernel above reads x from HBM once and writes y once.  For
+# training, ``fused_gcn_stack_trainable`` adds:
+#
+# * a forward kernel that ALSO stashes the inputs to layers 1..L-1 (the only
+#   residuals the backward needs — everything else is recomputed in VMEM,
+#   flash-attention style);
+# * a backward kernel that walks the 5 layers in reverse per block,
+#   recomputing each layer's intermediates from its saved input and
+#   producing dx plus all parameter gradients.  Parameter grads accumulate
+#   across the (sequential) TPU grid into revisited output blocks.
+#
+# Padded rows are safe: every gradient is linear in the cotangent, and the
+# pad rows' cotangent is zero.
+
+#: rows per program in the backward kernel — more live buffers than forward
+#: (d_xw, alpha, per-head grads), so a smaller tile keeps VMEM < 16 MB.
+BWD_TILE = 8
+
+
+def _ln_fwd(x, scale, bias):
+    """Returns (y, xhat, inv_sigma) for reuse in backward."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + LN_EPS)
+    xhat = (x32 - mean) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(d_y, xhat, inv, scale):
+    """LayerNorm backward over the last dim; returns (d_x, d_scale, d_bias)
+    with d_scale/d_bias reduced over all leading dims."""
+    d_scale = (d_y * xhat).sum(axis=tuple(range(d_y.ndim - 1)))
+    d_bias = d_y.sum(axis=tuple(range(d_y.ndim - 1)))
+    d_xhat = d_y * scale
+    m1 = d_xhat.mean(axis=-1, keepdims=True)
+    m2 = (d_xhat * xhat).mean(axis=-1, keepdims=True)
+    return inv * (d_xhat - m1 - xhat * m2), d_scale, d_bias
+
+
+def _gat_bwd(x, mask, w, att_src, att_dst, d_h, heads, mm_dtype):
+    """Backward of :func:`_gat` on a (T, J, F) block given cotangent d_h.
+
+    Returns (d_x, d_w, d_att_src, d_att_dst, d_bias); recomputes xw and the
+    attention weights in VMEM rather than loading them from HBM.
+    """
+    t, j, f = x.shape
+    x_flat = x.reshape(t * j, f)
+    xw_flat = _mm(x_flat, w, mm_dtype)                  # (T*J, H*F)
+    d_bias = d_h.sum(axis=(0, 1))
+    d_outh = d_h / heads
+    d_xw_cols = []
+    d_att_src = []
+    d_att_dst = []
+    for h in range(heads):
+        xwh = xw_flat[:, h * f:(h + 1) * f].reshape(t, j, f)
+        a_src = (xwh * att_src[h]).sum(axis=-1)         # (T, J)
+        a_dst = (xwh * att_dst[h]).sum(axis=-1)
+        e = a_dst[:, :, None] + a_src[:, None, :]       # (T, Jd, Js)
+        el = jnp.where(e >= 0, e, 0.2 * e)
+        em = jnp.where(mask[None, :, :] > 0, el, jnp.float32(-jnp.inf))
+        alpha = jax.nn.softmax(em, axis=-1)
+        # d_alpha[t,i,s] = sum_f d_outh[t,i,f] * xwh[t,s,f]
+        d_alpha = jax.lax.dot_general(
+            d_outh.astype(mm_dtype), xwh.astype(mm_dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # d_xwh (from alpha @ xwh term): sum_i alpha[t,i,s] d_outh[t,i,f]
+        d_xwh = jax.lax.dot_general(
+            alpha.astype(mm_dtype), d_outh.astype(mm_dtype),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (T, Js, F)
+        # softmax + mask + leaky backward
+        s = (alpha * d_alpha).sum(axis=-1, keepdims=True)
+        d_em = alpha * (d_alpha - s)                    # 0 at masked entries
+        d_e = d_em * jnp.where(e >= 0, 1.0, 0.2)
+        d_a_dst = d_e.sum(axis=2)                       # (T, Jd)
+        d_a_src = d_e.sum(axis=1)                       # (T, Js)
+        d_xwh = d_xwh + (d_a_src[..., None] * att_src[h]
+                         + d_a_dst[..., None] * att_dst[h])
+        d_att_src.append((xwh * d_a_src[..., None]).sum(axis=(0, 1)))
+        d_att_dst.append((xwh * d_a_dst[..., None]).sum(axis=(0, 1)))
+        d_xw_cols.append(d_xwh.reshape(t * j, f))
+    d_xw_flat = jnp.concatenate(d_xw_cols, axis=-1)     # (T*J, H*F)
+    d_x = _mm(d_xw_flat, w.T, mm_dtype).reshape(t, j, f)
+    d_w = _mm(x_flat.T, d_xw_flat, mm_dtype)
+    return (d_x, d_w, jnp.stack(d_att_src), jnp.stack(d_att_dst), d_bias)
+
+
+def _graph_conv_bwd(x, adj, w_rel, w_root, d_h, mm_dtype):
+    """Backward of :func:`_graph_conv`; returns (d_x, d_w_rel, d_w_root,
+    d_b)."""
+    t, j, f = x.shape
+    x_flat = x.reshape(t * j, f)
+    neigh = jax.lax.dot_general(
+        jnp.broadcast_to(adj.astype(mm_dtype), (t, j, j)),
+        x.astype(mm_dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    d_flat = d_h.reshape(t * j, f)
+    d_b = d_h.sum(axis=(0, 1))
+    d_w_rel = _mm(neigh.reshape(t * j, f).T, d_flat, mm_dtype)
+    d_w_root = _mm(x_flat.T, d_flat, mm_dtype)
+    d_neigh = _mm(d_flat, w_rel.T, mm_dtype).reshape(t, j, f)
+    # d_x from neigh = A @ x:  A^T @ d_neigh  (per graph)
+    d_x = jax.lax.dot_general(
+        jnp.broadcast_to(adj.T.astype(mm_dtype), (t, j, j)),
+        d_neigh.astype(mm_dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    d_x = d_x + _mm(d_flat, w_root.T, mm_dtype).reshape(t, j, f)
+    return d_x, d_w_rel, d_w_root, d_b
+
+
+def _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype):
+    """One stack layer forward from flat params at offset ``p``; returns
+    (x_next, new_p)."""
+    residual = x
+    if i % 2 == 0:
+        w, a_s, a_d, b = params[p:p + 4]
+        p += 4
+        h = _gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
+    else:
+        w_rel, w_root, b = params[p:p + 3]
+        p += 3
+        h = _graph_conv(x, adj, w_rel, w_root, b, mm_dtype)
+    scale, bias = params[p], params[p + 1]
+    p += 2
+    y, _, _ = _ln_fwd(h, scale, bias)
+    return jnp.where(y >= 0, y, 0.2 * y) + residual, p
+
+
+def _fwd_kernel(num_layers, heads, mm_dtype, x_ref, adj_ref, mask_ref,
+                *refs):
+    """Forward + residual stash: outputs (y, xs) where xs[k] is the input
+    to layer k+1."""
+    *param_refs, y_ref, xs_ref = refs
+    x = x_ref[...].astype(jnp.float32)
+    adj, mask = adj_ref[...], mask_ref[...]
+    params = [r[...] for r in param_refs]
+    p = 0
+    for i in range(num_layers):
+        if i > 0:
+            xs_ref[i - 1, ...] = x.astype(xs_ref.dtype)
+        x, p = _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype)
+    y_ref[...] = x.astype(y_ref.dtype)
+
+
+def _param_offsets(num_layers):
+    """Flat-tuple offset of each layer's params: (start, count, ln_start)."""
+    offs = []
+    p = 0
+    for i in range(num_layers):
+        n = 4 if i % 2 == 0 else 3
+        offs.append((p, n, p + n))
+        p += n + 2
+    return offs, p
+
+
+def _bwd_kernel(num_layers, heads, mm_dtype, x0_ref, xs_ref, g_ref,
+                adj_ref, mask_ref, *refs):
+    n_params = _param_offsets(num_layers)[1]
+    param_refs = refs[:n_params]
+    dx_ref = refs[n_params]
+    dparam_refs = refs[n_params + 1:]
+    assert len(dparam_refs) == n_params
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dparam_refs:
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    adj, mask = adj_ref[...], mask_ref[...]
+    params = [r[...] for r in param_refs]
+    offs, _ = _param_offsets(num_layers)
+    g = g_ref[...].astype(jnp.float32)
+    acc = {}
+
+    def add(idx, val):
+        acc[idx] = acc.get(idx, 0) + val
+
+    for i in reversed(range(num_layers)):
+        x = (x0_ref[...] if i == 0 else xs_ref[i - 1, ...]).astype(
+            jnp.float32)
+        start, cnt, ln = offs[i]
+        scale, bias = params[ln], params[ln + 1]
+        # recompute layer output pre-activation
+        if i % 2 == 0:
+            w, a_s, a_d, b = params[start:start + 4]
+            h = _gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
+        else:
+            w_rel, w_root, b = params[start:start + 3]
+            h = _graph_conv(x, adj, w_rel, w_root, b, mm_dtype)
+        y, xhat, inv = _ln_fwd(h, scale, bias)
+        # x_{i+1} = leaky(y) + x  (residual)
+        d_y = g * jnp.where(y >= 0, 1.0, 0.2)
+        d_h, d_scale, d_bias_ln = _ln_bwd(d_y, xhat, inv, scale)
+        add(ln, d_scale)
+        add(ln + 1, d_bias_ln)
+        if i % 2 == 0:
+            d_x, d_w, d_as, d_ad, d_b = _gat_bwd(
+                x, mask, w, a_s, a_d, d_h, heads, mm_dtype)
+            add(start, d_w)
+            add(start + 1, d_as)
+            add(start + 2, d_ad)
+            add(start + 3, d_b)
+        else:
+            d_x, d_w_rel, d_w_root, d_b = _graph_conv_bwd(
+                x, adj, w_rel, w_root, d_h, mm_dtype)
+            add(start, d_w_rel)
+            add(start + 1, d_w_root)
+            add(start + 2, d_b)
+        g = g + d_x            # residual cotangent + through-layer cotangent
+
+    dx_ref[...] = g.astype(dx_ref.dtype)
+    for idx, val in acc.items():
+        dparam_refs[idx][...] += val.astype(dparam_refs[idx].dtype)
+
+
+def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise):
+    lead = x.shape[:-2]
+    j, f = x.shape[-2:]
+    n = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(n, j, f)
+    pad = (-n) % TILE
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, j, f), xf.dtype)], axis=0)
+    n_pad = n + pad
+
+    bcast = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))  # noqa: E731
+    in_specs = [pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
+                bcast((j, j)), bcast((j, j))]
+    in_specs += [bcast(p.shape) for p in params]
+    kernel = functools.partial(_fwd_kernel, num_layers, heads,
+                               jnp.float32 if precise else jnp.bfloat16)
+    with _interpret_ctx():
+        y, xs = pl.pallas_call(
+            kernel,
+            grid=(n_pad // TILE,),
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
+                       pl.BlockSpec((num_layers - 1, TILE, j, f),
+                                    lambda i: (0, i, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((n_pad, j, f), jnp.float32),
+                       jax.ShapeDtypeStruct((num_layers - 1, n_pad, j, f),
+                                            jnp.float32)],
+        )(xf, adj, mask, *params)
+    return y, xs, n, n_pad
+
+
+def _bwd_call(x, xs, g, params, adj, mask, heads, num_layers, precise):
+    """x: (n_pad, J, F) padded input; xs: (L-1, n_pad, J, F); g: (n_pad,
+    J, F) zero-padded cotangent.  Returns (dx (n_pad,J,F), dparams)."""
+    n_pad, j, f = x.shape
+    bcast = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))  # noqa: E731
+    in_specs = [pl.BlockSpec((BWD_TILE, j, f), lambda i: (i, 0, 0)),
+                pl.BlockSpec((num_layers - 1, BWD_TILE, j, f),
+                             lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((BWD_TILE, j, f), lambda i: (i, 0, 0)),
+                bcast((j, j)), bcast((j, j))]
+    in_specs += [bcast(p.shape) for p in params]
+    out_specs = [pl.BlockSpec((BWD_TILE, j, f), lambda i: (i, 0, 0))]
+    out_specs += [bcast(p.shape) for p in params]
+    out_shape = [jax.ShapeDtypeStruct((n_pad, j, f), jnp.float32)]
+    out_shape += [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                  for p in params]
+    kernel = functools.partial(_bwd_kernel, num_layers, heads,
+                               jnp.float32 if precise else jnp.bfloat16)
+    with _interpret_ctx():
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_pad // BWD_TILE,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(x, xs, g, adj, mask, *params)
+    return outs[0], tuple(outs[1:])
+
+
+#: (adj_bytes, shape, heads, num_layers, precise) -> custom_vjp function
+_TRAINABLE_CACHE: dict = {}
+
+
+def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
+                              heads: int = 4, num_layers: int = 5,
+                              precise: bool = False) -> jnp.ndarray:
+    """Differentiable fused stack: the primal runs the eval kernel; under
+    ``jax.grad`` the forward stashes per-layer inputs and the backward is a
+    second fused kernel producing dx + all parameter grads.
+
+    Semantics identical to :class:`a2m.nn.graph.GCNStack`'s XLA path
+    (real_motion_model.py:172-201) minus the trailing dropout (applied by
+    the caller).
+    """
+    adj_np = np.asarray(adjacency, np.float32)
+    key = (adj_np.tobytes(), adj_np.shape, heads, num_layers, precise)
+    if key not in _TRAINABLE_CACHE:
+        _TRAINABLE_CACHE[key] = _make_trainable(adj_np, heads, num_layers,
+                                                precise)
+    # outer context: the custom_vjp primal's jaxpr executes after inner
+    # per-site contexts exit; the sites keep their own contexts because the
+    # backward is traced later (under grad machinery) where this scope is
+    # already gone
+    with _interpret_ctx():
+        return _TRAINABLE_CACHE[key](x, params)
+
+
+def _make_trainable(adj_np, heads, num_layers, precise):
+    mask_np = (np.maximum(adj_np, np.eye(adj_np.shape[0]))
+               > 0).astype(np.float32)
+    adj_c = jnp.asarray(adj_np)
+    mask_c = jnp.asarray(mask_np)
+
+    @jax.custom_vjp
+    def f(x, params):
+        return _fused_impl(x, params, adj_c, mask_c, heads, num_layers,
+                           precise)
+
+    def f_fwd(x, params):
+        y, xs, n, n_pad = _fwd_with_residuals(x, params, adj_c, mask_c,
+                                              heads, num_layers, precise)
+        lead = x.shape[:-2]
+        j, f_ = x.shape[-2:]
+        out = y[:n].reshape(*lead, j, f_).astype(x.dtype)
+        # residuals keep the padded layout so backward reuses it directly
+        xf = x.reshape(n, j, f_)
+        if n_pad > n:
+            xf = jnp.concatenate(
+                [xf, jnp.zeros((n_pad - n, j, f_), x.dtype)], axis=0)
+        return out, (xf, xs, params, x.shape)
+
+    def f_bwd(res, g):
+        xf, xs, params, x_shape = res
+        n_pad, j, f_ = xf.shape
+        lead = x_shape[:-2]
+        n = int(np.prod(lead)) if lead else 1
+        gf = g.reshape(n, j, f_).astype(jnp.float32)
+        if n_pad > n:
+            gf = jnp.concatenate(
+                [gf, jnp.zeros((n_pad - n, j, f_), jnp.float32)], axis=0)
+        dx, dparams = _bwd_call(xf, xs, gf, params, adj_c, mask_c, heads,
+                                num_layers, precise)
+        dx = dx[:n].reshape(x_shape).astype(jnp.float32)
+        return dx, tuple(dp.astype(jnp.float32) for dp in dparams)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f

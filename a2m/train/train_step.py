@@ -15,7 +15,10 @@ Reference semantics (`version5_model_train.py:325-495`) restructured for XLA:
 * BatchNorm parity: all forwards inside a train step run in train mode and
   update running statistics — exactly what the reference's
   ``model.train()``-mode forwards do, including the D forward inside the G
-  loss and the no-grad G forward inside the D step.
+  loss and the no-grad G forward inside the D step.  BN moments are
+  mask-aware (``a2m/nn/masking.py``): wrap-padded rows of the ragged final
+  batch are exactly inert, matching the reference's true ragged batches
+  (version5_model_train.py:300) without recompiling.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from flax.core import FrozenDict
 
 from a2m.config import TrainConfig
 from a2m.models import Discriminator, Generator
+from a2m.nn import masking
 from a2m.models import losses as L
 from a2m.models.discriminator import aux_cross_entropy
 
@@ -71,7 +75,11 @@ def init_states(g_model: Generator, d_model: Discriminator, key,
     # jit the inits: eager-mode init dispatches hundreds of tiny per-primitive
     # compiles, which is pathological on remote-compile TPU backends
     gv = jax.jit(g_model.init)({'params': kg, 'dropout': kdrop}, audio)
-    dv = jax.jit(d_model.init)({'params': kd, 'dropout': kdrop}, motion)
+    # init D with audio iff the train steps will condition it on audio —
+    # otherwise the fusion params would not exist at apply time
+    d_audio = audio if d_model.config.audio_fusion else None
+    dv = jax.jit(d_model.init)({'params': kd, 'dropout': kdrop}, motion,
+                               audio=d_audio)
     g_opt = make_optimizer(g_lr, grad_clip_norm).init(gv['params'])
     d_opt = make_optimizer(d_lr, grad_clip_norm).init(dv['params'])
     return (NetState(gv['params'], gv.get('batch_stats', FrozenDict({})),
@@ -110,14 +118,16 @@ def _apply_g(g_model, params, batch_stats, audio, key, train,
                           speaker_ids=speaker_ids), batch_stats)
 
 
-def _apply_d(d_model, params, batch_stats, motion, key, train):
+def _apply_d(d_model, params, batch_stats, motion, key, train, audio=None):
+    """``audio``: optional (B, T_a, F) conditioning — passed iff the config's
+    ``audio_fusion`` is on (real_motion_model.py:624-628)."""
     variables = {'params': params, 'batch_stats': batch_stats}
     if train:
         (scores, aux), mutated = d_model.apply(
-            variables, motion, train=True, rngs={'dropout': key},
-            mutable=['batch_stats'])
+            variables, motion, audio=audio, train=True,
+            rngs={'dropout': key}, mutable=['batch_stats'])
         return scores, aux, mutated['batch_stats']
-    scores, aux = d_model.apply(variables, motion, train=False)
+    scores, aux = d_model.apply(variables, motion, audio=audio, train=False)
     return scores, aux, batch_stats
 
 
@@ -170,6 +180,10 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
     if cfg.lambda_aux > 0:
         assert d_model.config.use_aux_classifier, (
             'train.lambda_aux > 0 requires discriminator.use_aux_classifier')
+    # audio conditioning of D (discriminator.audio_fusion): feed the batch
+    # audio into every D forward; None keeps the unconditioned graph
+    d_audio = (lambda audio: audio) if d_model.config.audio_fusion \
+        else (lambda audio: None)
 
     def g_step(g_state: NetState, d_state: NetState, audio, pose,
                mean, std, smooth, noise_std, key, style=None, mask=None):
@@ -189,13 +203,18 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                               is_real=True)
 
         def loss_fn(g_params):
-            fake_pose, new_g_bs = _apply_g(g_model, g_params,
-                                           g_state.batch_stats, audio,
-                                           k_gdrop, True, speaker_ids=style)
-            fake_motion = L.pos_to_motion(fake_pose)
-            fake_d, _, new_d_bs = _apply_d(d_model, d_state.params,
-                                           d_state.batch_stats, fake_motion,
-                                           k_ddrop, True)
+            # batch_mask: wrap-padded rows are excluded from BN moments in
+            # every train-mode forward (a2m/nn/masking.py)
+            with masking.batch_mask(mask):
+                fake_pose, new_g_bs = _apply_g(g_model, g_params,
+                                               g_state.batch_stats, audio,
+                                               k_gdrop, True,
+                                               speaker_ids=style)
+                fake_motion = L.pos_to_motion(fake_pose)
+                fake_d, _, new_d_bs = _apply_d(d_model, d_state.params,
+                                               d_state.batch_stats,
+                                               fake_motion, k_ddrop, True,
+                                               audio=d_audio(audio))
 
             kin = masked_motion_losses(real_pose, real_motion, fake_pose,
                                        fake_motion, mask)
@@ -235,16 +254,20 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                              is_real=False)
 
         # no-grad G forward in train mode (version5_model_train.py:391-393)
-        fake_pose, new_g_bs = _apply_g(g_model, g_state.params,
-                                       g_state.batch_stats, audio, k_gdrop,
-                                       True, speaker_ids=style)
+        with masking.batch_mask(mask):
+            fake_pose, new_g_bs = _apply_g(g_model, g_state.params,
+                                           g_state.batch_stats, audio,
+                                           k_gdrop, True, speaker_ids=style)
         fake_motion = jax.lax.stop_gradient(L.pos_to_motion(fake_pose))
 
         def loss_fn(d_params):
-            fake_d, _, bs1 = _apply_d(d_model, d_params, d_state.batch_stats,
-                                      fake_motion, k_d1, True)
-            real_d, aux_real, bs2 = _apply_d(d_model, d_params, bs1,
-                                             real_motion, k_d2, True)
+            with masking.batch_mask(mask):
+                fake_d, _, bs1 = _apply_d(d_model, d_params,
+                                          d_state.batch_stats, fake_motion,
+                                          k_d1, True, audio=d_audio(audio))
+                real_d, aux_real, bs2 = _apply_d(d_model, d_params, bs1,
+                                                 real_motion, k_d2, True,
+                                                 audio=d_audio(audio))
 
             def mm(x):
                 return L.masked_mean(x, mask)
@@ -278,9 +301,11 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                                 audio, None, False, speaker_ids=style)
         fake_motion = L.pos_to_motion(fake_pose)
         fake_d, _, _ = _apply_d(d_model, d_state.params, d_state.batch_stats,
-                                fake_motion, None, False)
+                                fake_motion, None, False,
+                                audio=d_audio(audio))
         real_d, _, _ = _apply_d(d_model, d_state.params, d_state.batch_stats,
-                                real_motion, None, False)
+                                real_motion, None, False,
+                                audio=d_audio(audio))
         valid = jnp.ones_like(fake_d)
         fake_lab = jnp.zeros_like(fake_d)
 

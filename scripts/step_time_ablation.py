@@ -7,7 +7,10 @@ variant.  Used to find and verify the top hotspot for the README MFU table
 
 Usage:  python scripts/step_time_ablation.py [variant ...]
 Variants: f32 bf16 f32_nodrop bf16_nodrop f32_rbg bf16_rbg, each with an
-optional @<batch> suffix (e.g. f32@512) — default batch 128.
+optional @<batch> suffix (e.g. f32@512) — default batch 128.  A ``fused``
+token (e.g. f32_fused) enables generator.fused_gcn: the trainable fused
+Pallas GCN stacks (forward + custom-VJP backward kernels); compile wall
+time is reported separately (Mosaic compiles are slow on this backend).
 """
 
 from __future__ import annotations
@@ -40,7 +43,10 @@ def run_variant(name: str) -> dict:
     dtype_s = 'bf16' if name.startswith('bf16') else 'f32'
     dt = jnp.bfloat16 if dtype_s == 'bf16' else jnp.float32
     drop = 0.0 if 'nodrop' in name else None
-    g_cfg = GeneratorConfig(**({'dropout': drop} if drop is not None else {}))
+    g_kwargs = {'dropout': drop} if drop is not None else {}
+    if 'fused' in name:
+        g_kwargs['fused_gcn'] = True
+    g_cfg = GeneratorConfig(**g_kwargs)
     d_cfg = DiscriminatorConfig(
         **({'dropout': drop} if drop is not None else {}))
     g_model = Generator(g_cfg, dtype=dt)
@@ -60,9 +66,13 @@ def run_variant(name: str) -> dict:
     # only a d2h transfer (float()) does.  Thread states through the loop
     # (true data dependency) and sync via float() on the final metric:
     # wall / n == sustained per-step time, the number training achieves.
+    compile_wall = {}
+
     def timed_g(n=30):
+        t_c = time.perf_counter()
         g, nd, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01, key)
         float(gm['g_loss'])              # compile + drain
+        compile_wall['g_s'] = round(time.perf_counter() - t_c, 1)
         t0 = time.perf_counter()
         for _ in range(n):
             g, nd, gm = g_step(g, ds, audio, pose, mean, std, 0.93, 0.01,
@@ -85,7 +95,7 @@ def run_variant(name: str) -> dict:
     d_s = timed_d()
     g_fl = mfu_lib.compiled_flops(g_step, gs, ds, audio, pose, mean, std,
                                   0.93, 0.01, key)
-    return dict(variant=name, batch=batch,
+    return dict(variant=name, batch=batch, compile_wall_s=compile_wall,
                 g_ms=round(g_s * 1e3, 1), d_ms=round(d_s * 1e3, 1),
                 g_tflop=round((g_fl or 0) / 1e12, 2),
                 g_mfu_pct=round(100 * mfu_lib.mfu(g_fl or 0, g_s, dtype_s),

@@ -268,3 +268,54 @@ def test_discriminator_gradient_flows(disc_and_vars, rng):
     assert gnorm > 0
     # graph-branch params receive gradient too (dense GAT path is live)
     assert float(jnp.sum(grads['body_gat']['lin']['kernel'] ** 2)) > 0
+
+
+def test_discriminator_audio_fusion_branches(rng):
+    """Both audio-fusion branches (real_motion_model.py:624-628): audio
+    already at D's time resolution (a.shape[1] == t) and the adaptive-pool
+    path (T_a a multiple of t)."""
+    d = Discriminator(DiscriminatorConfig(out_channels=8, joint_feat_dim=8,
+                                          gat_heads=2, dropout=0.1,
+                                          audio_fusion=True))
+    motion = jnp.asarray(rng.standard_normal((2, 63, 104)), jnp.float32)
+    audio64 = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    variables = d.init({'params': KEY, 'dropout': KEY}, motion,
+                       audio=audio64)
+
+    s_pool, _ = d.apply(variables, motion, audio=audio64)   # 64 -> t pooled
+    assert s_pool.shape == (2, 4)
+    assert np.isfinite(np.asarray(s_pool)).all()
+
+    t = s_pool.shape[1]
+    audio_t = jnp.asarray(rng.standard_normal((2, t, 128)), jnp.float32)
+    s_eq, _ = d.apply(variables, motion, audio=audio_t)     # equal branch
+    assert s_eq.shape == (2, 4)
+    assert np.isfinite(np.asarray(s_eq)).all()
+
+    # the fusion is live: different audio changes the scores
+    s_eq2, _ = d.apply(variables, motion, audio=audio_t + 1.0)
+    assert float(jnp.abs(s_eq2 - s_eq).max()) > 0
+
+    # pooled path == manually pooled audio through the equal branch
+    pooled = audio64.reshape(2, t, 64 // t, 128).mean(axis=2)
+    s_manual, _ = d.apply(variables, motion, audio=pooled)
+    np.testing.assert_allclose(np.asarray(s_pool), np.asarray(s_manual),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_discriminator_audio_fusion_gradient(rng):
+    d = Discriminator(DiscriminatorConfig(out_channels=8, joint_feat_dim=8,
+                                          gat_heads=2, dropout=0.1,
+                                          audio_fusion=True))
+    motion = jnp.asarray(rng.standard_normal((2, 63, 104)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    variables = d.init({'params': KEY, 'dropout': KEY}, motion, audio=audio)
+
+    def loss(params):
+        s, _ = d.apply({'params': params,
+                        'batch_stats': variables['batch_stats']}, motion,
+                       audio=audio)
+        return jnp.mean((s - 1.0) ** 2)
+
+    grads = jax.grad(loss)(variables['params'])
+    assert float(jnp.sum(grads['audio_fusion']['kernel'] ** 2)) > 0

@@ -265,3 +265,67 @@ def test_batchnorm_train_updates_stats(rng):
     new_mean = np.asarray(mutated['batch_stats']['norm']['mean'])
     old_mean = np.asarray(variables['batch_stats']['norm']['mean'])
     assert not np.allclose(new_mean, old_mean)
+
+
+# ---------------------------------------------------------------------------
+# mask-aware BatchNorm (a2m/nn/masking.py)
+# ---------------------------------------------------------------------------
+
+def test_masked_bn_matches_flax_unmasked():
+    """No mask (or all-ones) == standard flax BatchNorm numerics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from a2m.nn.masking import MaskedBatchNorm, batch_mask
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8, 6)),
+                    jnp.float32)
+    ours = MaskedBatchNorm(use_running_average=False)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5, dtype=jnp.float32,
+                       use_fast_variance=False)
+    vo = ours.init(jax.random.PRNGKey(0), x)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    yo, mo = ours.apply(vo, x, mutable=['batch_stats'])
+    yr, mr = ref.apply(vr, x, mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(yo), np.asarray(yr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mo['batch_stats']['mean']),
+        np.asarray(mr['batch_stats']['mean']), rtol=1e-6)
+    # all-ones mask identical to no mask
+    with batch_mask(jnp.ones(4)):
+        y1, m1 = ours.apply(vo, x, mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(yo), rtol=1e-6)
+
+
+def test_masked_bn_excludes_padded_rows():
+    """Masked moments == moments of the real-row sub-batch; padded-row
+    corruption cannot change real rows' outputs or running stats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from a2m.nn.masking import MaskedBatchNorm, batch_mask
+
+    rng = np.random.default_rng(1)
+    x_real = jnp.asarray(rng.standard_normal((3, 8, 6)), jnp.float32)
+    x_pad = jnp.concatenate([x_real, 1000.0 * jnp.ones((1, 8, 6))], axis=0)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+
+    bn = MaskedBatchNorm(use_running_average=False)
+    v = bn.init(jax.random.PRNGKey(0), x_real)
+    y_sub, m_sub = bn.apply(v, x_real, mutable=['batch_stats'])
+    with batch_mask(mask):
+        y_pad, m_pad = bn.apply(v, x_pad, mutable=['batch_stats'])
+    # reduction trees differ between the 3- and 4-row shapes, so equality
+    # is up to f32 summation rounding (same-shape inertness is bit-exact —
+    # see test_train.py::test_ragged_batch_trains_with_masked_losses)
+    np.testing.assert_allclose(np.asarray(y_pad[:3]), np.asarray(y_sub),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_pad['batch_stats']['mean']),
+        np.asarray(m_sub['batch_stats']['mean']), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_pad['batch_stats']['var']),
+        np.asarray(m_sub['batch_stats']['var']), rtol=1e-5, atol=1e-6)

@@ -79,3 +79,77 @@ def test_generator_fused_flag_matches_unfused(rng):
     got = np.asarray(g_fused.apply(v, audio, train=False))
     scale = np.abs(ref).max()
     assert np.abs(got - ref).max() < 0.02 * scale
+
+
+# ---------------------------------------------------------------------------
+# trainable fused stack (custom VJP + fused backward kernel)
+# ---------------------------------------------------------------------------
+
+def _grad_setup(adj, seed=0, shape=(2, 3), f=16, heads=2):
+    stack, v, x = _setup(adj, f=f, heads=heads, seed=seed, shape=shape)
+    params = pallas_gcn.extract_stack_params(v['params'])
+    rng = np.random.default_rng(seed + 100)
+    w = jnp.asarray(rng.standard_normal(
+        (*shape, adj.shape[0], f)), jnp.float32)   # nontrivial cotangent
+    return stack, v, x, params, w
+
+
+def test_fused_trainable_primal_matches_eval_kernel():
+    stack, v, x, params, _ = _grad_setup(HAND_ADJ)
+    a = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, params, HAND_ADJ, heads=2, precise=True))
+    b = np.asarray(pallas_gcn.fused_gcn_stack_trainable(
+        x, params, HAND_ADJ, heads=2, precise=True))
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_fused_trainable_grads_match_xla_hand():
+    """d/dx and d/dparams of the fused stack == jax.grad of the XLA
+    GCNStack (f32 kernels, HIGHEST XLA precision)."""
+    stack, v, x, params, w = _grad_setup(HAND_ADJ)
+
+    def loss_fused(x, params):
+        y = pallas_gcn.fused_gcn_stack_trainable(x, params, HAND_ADJ,
+                                                 heads=2, precise=True)
+        return (y * w).sum()
+
+    def loss_xla(x, pdict):
+        y = stack.apply({'params': pdict}, x, train=False)
+        return (y * w).sum()
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r_tree = jax.grad(loss_xla, argnums=(0, 1))(x, v['params'])
+    gp_r = pallas_gcn.extract_stack_params(gp_r_tree)  # same flattening
+
+    scale = np.abs(np.asarray(gx_r)).max()
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4 * scale)
+    assert len(gp_f) == len(gp_r)
+    for i, (a, b) in enumerate(zip(gp_f, gp_r)):
+        s = max(np.abs(np.asarray(b)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * s, err_msg=f'param {i}')
+
+
+def test_fused_trainable_grads_match_xla_body():
+    stack, v, x, params, w = _grad_setup(BODY_ADJ, seed=2)
+
+    def loss_fused(x, params):
+        y = pallas_gcn.fused_gcn_stack_trainable(x, params, BODY_ADJ,
+                                                 heads=2, precise=True)
+        return (y * w).sum()
+
+    def loss_xla(x, pdict):
+        y = stack.apply({'params': pdict}, x, train=False)
+        return (y * w).sum()
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r_tree = jax.grad(loss_xla, argnums=(0, 1))(x, v['params'])
+    gp_r = pallas_gcn.extract_stack_params(gp_r_tree)
+    scale = np.abs(np.asarray(gx_r)).max()
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4 * scale)
+    for i, (a, b) in enumerate(zip(gp_f, gp_r)):
+        s = max(np.abs(np.asarray(b)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * s, err_msg=f'param {i}')
