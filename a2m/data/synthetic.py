@@ -52,15 +52,48 @@ def synth_pose(n_frames: int, rng: np.random.Generator,
 TEXT_VOCAB = ('hello', 'gesture', 'the', 'motion', 'speech', 'and', 'wave',
               'point', 'to', 'arm')          # incl. stopwords for filler masks
 
+#: deterministic-mode pose basis: K global (2, 52) patterns, one per mel
+#: band group.  Seeded constant shared by EVERY interval and speaker so the
+#: audio->pose map is learnable across the whole dataset; neck (joint 0)
+#: pinned so neck-rooted normalization stays centered.
+_DET_BANDS = 8
+
+
+def _det_basis() -> np.ndarray:
+    rng = np.random.default_rng(1234)
+    basis = rng.uniform(-8.0, 8.0, (_DET_BANDS, 2, 52))
+    basis[:, :, 0] = 0.0
+    return basis
+
+
+def _smooth_envelopes(n_frames: int, rng: np.random.Generator,
+                      duration_s: float) -> np.ndarray:
+    """(K, T) smooth per-band envelopes in [0, 1] (~1 knot/second)."""
+    n_knots = max(4, int(duration_s))
+    knots = rng.uniform(0.0, 1.0, (_DET_BANDS, n_knots))
+    t = np.linspace(0, n_knots - 1, n_frames)
+    return np.stack([np.interp(t, np.arange(n_knots), k) for k in knots])
+
 
 def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
                    with_text: bool = False, correlated: bool = False,
-                   with_norm_stats: bool = False) -> None:
+                   with_norm_stats: bool = False,
+                   deterministic: bool = False) -> None:
     """Write one interval .h5 with pose/audio(/text) datasets.
 
     ``correlated=True`` makes the pose motion amplitude follow a smooth
     "audio energy" envelope that is also written into the mel features —
     a learnable audio->motion mapping for end-to-end training validation.
+    NOTE: only motion *statistics* are predictable from audio in this mode
+    (sinusoid phases are random), so a mean-pose predictor is near-optimal
+    for position metrics like PCK.
+
+    ``deterministic=True`` instead makes pose a deterministic function of
+    the audio: K smooth per-band envelopes drive both the mel band groups
+    and a fixed global pose basis (``pose = rest + sum_k env_k * basis_k``)
+    — absolute joint positions are recoverable from the spectrogram, so a
+    trained model can beat the mean-pose predictor on PCK.
+
     ``with_text`` writes word-piecewise-constant ``text/{w2v,bert,tokens}``
     plus the ``text/meta`` alignment table (plain-h5 layout, see
     :func:`a2m.data.dataset.read_text_meta`).  ``with_norm_stats`` writes
@@ -72,7 +105,22 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
     n512 = int(duration_s * fs512) + 1
     n400 = int(duration_s * fs400) + 1
 
-    if correlated:
+    if deterministic:
+        envs = _smooth_envelopes(n_pose, rng, duration_s)   # (K, T)
+        basis = _det_basis()
+        pose = (_rest_pose()[None]
+                + np.einsum('kt,kcj->tcj', envs, basis)).reshape(n_pose, 104)
+
+        def band_mel(n_rows: int, n_mels: int) -> np.ndarray:
+            t = np.linspace(0, n_pose - 1, n_rows)
+            env_r = np.stack([np.interp(t, np.arange(n_pose), e)
+                              for e in envs])               # (K, rows)
+            mel = np.repeat(env_r.T, n_mels // _DET_BANDS, axis=1)
+            return 4.0 * mel - 6.0 + 0.1 * rng.standard_normal(
+                (n_rows, n_mels))
+        mel512 = band_mel(n512, 128)
+        mel400 = band_mel(n400, 64)
+    elif correlated:
         # smooth random envelope in [0.1, 1] at pose rate
         knots = rng.uniform(0.1, 1.0, max(4, int(duration_s)))
         env = np.interp(np.linspace(0, len(knots) - 1, n_pose),
@@ -131,6 +179,7 @@ def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                         duration_s: float = 12.0, seed: int = 0,
                         with_text: bool = False, correlated: bool = False,
                         with_norm_stats: bool = False,
+                        deterministic: bool = False,
                         splits=('train', 'train', 'dev', 'test')) -> Path:
     """Build a synthetic PATS tree under ``root`` and return its path.
 
@@ -152,6 +201,7 @@ def make_synthetic_pats(root, speakers=('oliver', 'noah'),
             synth_interval(hdf5_io.interval_path(root, sp, str(iid)),
                            duration_s, rng, with_text=with_text,
                            correlated=correlated,
-                           with_norm_stats=with_norm_stats)
+                           with_norm_stats=with_norm_stats,
+                           deterministic=deterministic)
     pd.DataFrame(rows).to_csv(root / 'cmu_intervals_df.csv', index=False)
     return root

@@ -15,7 +15,12 @@ Artifacts: per-epoch JSON progress -> ``<save>/campaign_progress.json``;
 final summary (trajectory + controller events + PCK before/after) printed
 as JSON and written to ``<save>/campaign_summary.json``.
 
-Usage: python scripts/full_training_campaign.py [epochs] [--fresh]
+Usage: python scripts/full_training_campaign.py [epochs] [--fresh] [--env]
+
+Default fixtures are ``deterministic`` (pose a deterministic function of the
+mel bands — absolute positions learnable, so PCK can beat the mean-pose
+predictor); ``--env`` selects the envelope-correlated mode (motion
+statistics learnable, positions not — run A of LEARNING.md).
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+MODE = 'det'
 ROOT = pathlib.Path('/tmp/a2m_campaign')
 SPEAKERS = ('oliver', 'noah', 'seth', 'shelly',
             'ellen', 'angelica', 'almaram', 'chemistry')
@@ -45,7 +51,9 @@ def build_dataset() -> pathlib.Path:
         shutil.rmtree(data)
     t0 = time.perf_counter()
     make_synthetic_pats(data, speakers=SPEAKERS, intervals_per_speaker=5,
-                        duration_s=120.0, seed=0, correlated=True,
+                        duration_s=120.0, seed=0,
+                        correlated=(MODE == 'env'),
+                        deterministic=(MODE == 'det'),
                         splits=('train', 'train', 'train', 'dev', 'test'))
     marker.touch()
     print(f'dataset built in {time.perf_counter() - t0:.1f}s', flush=True)
@@ -177,4 +185,7 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
 
 if __name__ == '__main__':
     args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    if '--env' in sys.argv:
+        MODE = 'env'
+    ROOT = pathlib.Path(f'/tmp/a2m_campaign_{MODE}')
     main(int(args[0]) if args else 80, fresh='--fresh' in sys.argv)
