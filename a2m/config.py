@@ -73,9 +73,11 @@ class GeneratorConfig:
     # to the encoder features (the reference's Style module is a stub,
     # model_layers.py:913-923; here it is a real capability)
     num_style_speakers: int = 0
-    # eval-mode fused Pallas GCN stacks (a2m/nn/pallas_gcn.py): 1.46x the
-    # XLA lowering on v5e, but ~15 min Mosaic compile on the remote-compile
-    # backend — opt-in for serving deployments where compiles amortize
+    # fused Pallas GCN stacks (a2m/nn/pallas_gcn.py): 1.46x the XLA
+    # lowering on v5e at eval, and trainable via a custom-VJP fused
+    # backward kernel — but ~15 min Mosaic compile per kernel instance on
+    # the remote-compile backend, so opt-in for deployments where the
+    # compile amortizes
     fused_gcn: bool = False
 
 

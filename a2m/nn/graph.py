@@ -116,10 +116,11 @@ class GCNStack(nn.Module):
     dropout: float = 0.2
     dtype: Any = jnp.float32
     precision: Any = None
-    #: eval-mode fast path: run all layers as ONE fused Pallas kernel
-    #: (a2m/nn/pallas_gcn.py; measured 1.46x vs the XLA lowering on v5e).
-    #: Opt-in — the Mosaic compile costs ~15 min on the remote-compile
-    #: backend, and training/init always use the XLA path below.
+    #: fast path: run all layers as ONE fused Pallas kernel
+    #: (a2m/nn/pallas_gcn.py; measured 1.46x vs the XLA lowering on v5e),
+    #: differentiable via a fused custom-VJP backward kernel.  Opt-in —
+    #: each Mosaic kernel compile costs ~15 min on the remote-compile
+    #: backend; init always uses the XLA path below (identical params).
     fused: bool = False
 
     @nn.compact
