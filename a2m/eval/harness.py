@@ -26,9 +26,12 @@ from a2m.eval.metrics import compute_pck, l2_pose_error
 
 
 def evaluate_speaker(path2data, speaker: str, ckpt_dir=None,
-                     batch_size: int = 128, alpha: float = 0.2,
+                     batch_size: int = 128, alpha=0.2,
                      cfg: Config | None = None, max_batches=None,
                      render_sample_to=None) -> dict:
+    """``alpha`` may be a float or a sequence of floats; every alpha is
+    evaluated in the same inference pass (``pck`` reports the first,
+    ``pck_by_alpha`` all of them)."""
     from a2m.models import Generator
 
     cfg = cfg or Config()
@@ -59,7 +62,10 @@ def evaluate_speaker(path2data, speaker: str, ckpt_dir=None,
         pose_norm = generator.apply(variables, audio, train=False)
         return denormalize_pose(pose_norm, mean_j, std_j)
 
-    pcks, l2s, n_clips = [], [], 0
+    alphas = ((alpha,) if isinstance(alpha, (int, float))
+              else tuple(alpha))
+    pcks: dict = {a: [] for a in alphas}
+    l2s, n_clips = [], 0
     for i, batch in enumerate(dl.test):
         if max_batches is not None and i >= max_batches:
             break
@@ -69,17 +75,20 @@ def evaluate_speaker(path2data, speaker: str, ckpt_dir=None,
         m = batch['mask'] > 0
         gen, real = gen[m], real[m]
         # (N, T, 104) -> (N*T, 2, 52) keypoint frames
-        gk = gen.reshape(-1, 2, 52)
-        rk = real.reshape(-1, 2, 52)
-        pcks.append(np.asarray(compute_pck(jnp.asarray(gk), jnp.asarray(rk),
-                                           alpha=alpha)))
-        l2s.append(float(l2_pose_error(jnp.asarray(gk), jnp.asarray(rk))))
+        gk = jnp.asarray(gen.reshape(-1, 2, 52))
+        rk = jnp.asarray(real.reshape(-1, 2, 52))
+        for a in alphas:
+            pcks[a].append(np.asarray(compute_pck(gk, rk, alpha=a)))
+        l2s.append(float(l2_pose_error(gk, rk)))
         n_clips += int(m.sum())
 
+    by_alpha = {a: (float(np.concatenate(v).mean()) if v else None)
+                for a, v in pcks.items()}
     result = dict(speaker=speaker,
                   n_clips=n_clips,
-                  pck=float(np.concatenate(pcks).mean()) if pcks else None,
-                  pck_alpha=alpha,
+                  pck=by_alpha[alphas[0]],
+                  pck_alpha=alphas[0],
+                  pck_by_alpha={str(a): v for a, v in by_alpha.items()},
                   l2=float(np.mean(l2s)) if l2s else None)
     if render_sample_to is not None and n_clips:
         from a2m.viz.generate_video import run as render_run

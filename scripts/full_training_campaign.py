@@ -167,9 +167,11 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
     pck = {}
     for name, ckpt in (('untrained', None), ('trained', str(save / 'ckpt'))):
         r = evaluate_speaker(str(data), 'oliver', ckpt_dir=ckpt,
-                             batch_size=128)
-        pck[name] = dict(pck=r['pck'], l2=r['l2'], n_clips=r['n_clips'])
-        print(f'PCK[{name}] = {r["pck"]:.4f}  L2 = {r["l2"]:.2f}', flush=True)
+                             batch_size=128, alpha=(0.2, 0.1))
+        pck[name] = dict(pck=r['pck'], pck_by_alpha=r['pck_by_alpha'],
+                         l2=r['l2'], n_clips=r['n_clips'])
+        print(f'PCK[{name}] = {r["pck_by_alpha"]}  L2 = {r["l2"]:.2f}',
+              flush=True)
 
     summary = dict(epochs_run=len(epoch_log), events=events,
                    val_g=[e['val_g'] for e in epoch_log],

@@ -165,6 +165,19 @@ def test_eval_harness_synthetic(pats_root):
     assert np.isfinite(out['l2'])
 
 
+def test_eval_harness_multi_alpha(pats_root):
+    """One inference pass scores every requested PCK alpha; tighter alpha
+    can only lower the score."""
+    from a2m.config import Config, GeneratorConfig
+    from a2m.eval import evaluate_speaker
+    cfg = Config(generator=GeneratorConfig(in_channels=16, out_channels=16,
+                                           joint_feat_dim=8, gat_heads=2))
+    out = evaluate_speaker(pats_root, 'oliver', None, batch_size=8, cfg=cfg,
+                           max_batches=1, alpha=(0.2, 0.1))
+    assert out['pck'] == out['pck_by_alpha']['0.2']
+    assert out['pck_by_alpha']['0.1'] <= out['pck_by_alpha']['0.2']
+
+
 # ---------------------------------------------------------------------------
 # streaming inference
 # ---------------------------------------------------------------------------
