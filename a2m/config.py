@@ -79,6 +79,10 @@ class GeneratorConfig:
     # the remote-compile backend, so opt-in for deployments where the
     # compile amortizes
     fused_gcn: bool = False
+    # rolled per-head fori_loop in the fused kernels — same math, ~4x
+    # fewer Mosaic instructions (faster remote compile); see
+    # a2m/nn/pallas_gcn.py::_gat_rolled
+    fused_rolled: bool = False
 
 
 @dataclass(frozen=True)

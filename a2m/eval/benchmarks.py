@@ -26,13 +26,21 @@ SR = 45600
 CLIP_S = 4.3
 
 
-def _timed(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _timed_chained(fn, *args, iters=10):
+    """Sustained per-call time of ``fn(*args, carry)`` -> (out, new_carry).
+
+    The axon backend caches identical (executable, inputs) executions and
+    ``block_until_ready`` does not synchronize (verify-skill timing
+    gotchas), so every iteration must differ — the scalar carry gives each
+    call distinct inputs AND a true device-side dependency — and the loop
+    must end in a d2h transfer (``float``)."""
+    carry = jnp.float32(0.0)
+    out, carry = fn(*args, carry)
+    float(carry)                       # compile + warm + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out, carry = fn(*args, carry)
+    float(carry)
     return out, (time.perf_counter() - t0) / iters
 
 
@@ -53,7 +61,18 @@ def config1_single_clip() -> dict:
     variables = jax.jit(model.init)({'params': key, 'dropout': key},
                                     window_feats)
     fwd = jax.jit(lambda a: model.apply(variables, a, train=False))
-    _, dt = _timed(fwd, window_feats, iters=20)
+    # single-clip latency: per-call d2h sync on DISTINCT inputs (the
+    # backend caches identical executions); median of 20.  This includes
+    # the ~34 ms host<->device tunnel round trip — the honest serving
+    # number for this environment (README "single-clip latency" note)
+    singles = [window_feats + 0.01 * i for i in range(21)]
+    float(fwd(singles[20]).mean())     # compile + warm
+    lats = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        float(fwd(singles[i]).mean())
+        lats.append(time.perf_counter() - t0)
+    dt = float(np.median(lats))
     return dict(config='single_clip', logmel_max_abs_err_vs_float64=parity,
                 parity_target=1e-5, forward_ms=dt * 1e3,
                 realtime_factor=CLIP_S / dt)
@@ -67,9 +86,18 @@ def config2_batched_features(batch: int = 256) -> dict:
     rng = np.random.default_rng(0)
     waves = jax.device_put((rng.standard_normal(
         (batch, int(SR * CLIP_S))) * 0.1).astype(np.float32))
-    xla = jax.jit(lambda w: frontend.log_mel_512(w, SR, exact=False))
-    _, dt_x = _timed(xla, waves)
-    _, dt_p = _timed(lambda w: pallas_log_mel_512(w, SR), waves)
+    @jax.jit
+    def xla(w, carry):
+        f = frontend.log_mel_512(w, SR, exact=False)
+        return f, carry + f.mean()
+
+    @jax.jit
+    def pallas(w, carry):
+        f = pallas_log_mel_512(w, SR)
+        return f, carry + f.mean()
+
+    _, dt_x = _timed_chained(xla, waves)
+    _, dt_p = _timed_chained(pallas, waves)
     audio_s = batch * CLIP_S
     return dict(config='batched_features', batch=batch,
                 xla_realtime_factor=audio_s / dt_x,
@@ -95,24 +123,27 @@ def config3_train_step(batch: int = 128, steps: int = 10,
     mean, std = jnp.zeros(104), jnp.ones(104)
     key = jax.random.PRNGKey(1)
 
+    # the evolving g_state/d_state chain gives every iteration distinct
+    # inputs (defeats the backend's execution cache); float() is the only
+    # real sync on this backend (block_until_ready is a no-op on the tunnel)
     gs, ndbs, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01, key)
-    jax.block_until_ready(gm)
+    float(gm['g_loss'])
     t0 = time.perf_counter()
     for _ in range(steps):
         gs, ndbs, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01,
                               key)
-    jax.block_until_ready(gm)
+    float(gm['g_loss'])
     g_ms = (time.perf_counter() - t0) / steps * 1e3
 
     ds2 = ds._replace(batch_stats=ndbs)
     ds2, gs, dm = d_step(gs, ds2, audio, pose, mean, std, 0.93, 0.07, 0.01,
                          key)
-    jax.block_until_ready(dm)
+    float(dm['d_loss'])
     t0 = time.perf_counter()
     for _ in range(steps):
         ds2, gs, dm = d_step(gs, ds2, audio, pose, mean, std, 0.93, 0.07,
                              0.01, key)
-    jax.block_until_ready(dm)
+    float(dm['d_loss'])
     d_ms = (time.perf_counter() - t0) / steps * 1e3
     return dict(config='train_step', batch=batch, dtype=compute_dtype,
                 g_step_ms=g_ms, d_step_ms=d_ms,

@@ -47,6 +47,7 @@ class _PartDecoder(nn.Module):
     attention_first: bool        # body: ChannelAttn->SelfAttn; hand: reversed
     extra_post_channel_attn: bool
     fused_gcn: bool = False
+    fused_rolled: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -73,7 +74,8 @@ class _PartDecoder(nn.Module):
                      name='proj_in')(x)
         x = x.reshape(b, t, j, f)
         x = GCNStack(f, self.adjacency, num_layers=5, heads=self.heads,
-                     dropout=self.p, fused=self.fused_gcn, dtype=self.dtype,
+                     dropout=self.p, fused=self.fused_gcn,
+                     fused_rolled=self.fused_rolled, dtype=self.dtype,
                      precision=self.precision, name='gcn')(x, train)
         x = x.reshape(b, t, j * f)
         x = nn.Dense(c, dtype=self.dtype, precision=self.precision,
@@ -133,7 +135,8 @@ class Generator(nn.Module):
                             cfg.joint_feat_dim, body_adj, cfg.body_feats,
                             cfg.dropout, cfg.gat_heads, attention_first=True,
                             extra_post_channel_attn=False,
-                            fused_gcn=cfg.fused_gcn, dtype=self.dtype,
+                            fused_gcn=cfg.fused_gcn,
+                            fused_rolled=cfg.fused_rolled, dtype=self.dtype,
                             precision=self.precision,
                             name='body_decoder')(feats, train)
         hand = _PartDecoder(cfg.out_channels, cfg.num_hand_joints,
@@ -141,7 +144,8 @@ class Generator(nn.Module):
                             cfg.out_feats - cfg.body_feats, cfg.dropout,
                             cfg.gat_heads, attention_first=False,
                             extra_post_channel_attn=True,
-                            fused_gcn=cfg.fused_gcn, dtype=self.dtype,
+                            fused_gcn=cfg.fused_gcn,
+                            fused_rolled=cfg.fused_rolled, dtype=self.dtype,
                             precision=self.precision,
                             name='hand_decoder')(feats, train)
 

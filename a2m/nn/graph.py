@@ -119,9 +119,12 @@ class GCNStack(nn.Module):
     #: fast path: run all layers as ONE fused Pallas kernel
     #: (a2m/nn/pallas_gcn.py; measured 1.46x vs the XLA lowering on v5e),
     #: differentiable via a fused custom-VJP backward kernel.  Opt-in —
-    #: each Mosaic kernel compile costs ~15 min on the remote-compile
+    #: each Mosaic kernel compile costs minutes on the remote-compile
     #: backend; init always uses the XLA path below (identical params).
     fused: bool = False
+    #: rolled per-head fori_loop inside the fused kernels: same math,
+    #: ~4x fewer Mosaic instructions -> faster remote compiles
+    fused_rolled: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -134,7 +137,8 @@ class GCNStack(nn.Module):
             # (a2m/nn/pallas_gcn.py::fused_gcn_stack_trainable)
             out = pallas_gcn.fused_gcn_stack_trainable(
                 x.astype(jnp.float32), params, self.adjacency,
-                heads=self.heads, num_layers=self.num_layers)
+                heads=self.heads, num_layers=self.num_layers,
+                rolled=self.fused_rolled)
             out = out.astype(self.dtype)
             return nn.Dropout(self.dropout, deterministic=not train)(out)
         for i in range(self.num_layers):

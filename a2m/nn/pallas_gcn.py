@@ -109,6 +109,75 @@ def _gat(x, mask, w, att_src, att_dst, bias, heads: int, mm_dtype):
     return out / heads + bias
 
 
+def _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f, mm_dtype):
+    """One head's (alpha, xwh, e) from per-head weight (F_in, F) and
+    attention vectors (1, F) — shared by rolled forward and backward."""
+    xwh = _mm(x_flat, wh, mm_dtype).reshape(t, j, f)
+    a_src = (xwh * a_s).sum(axis=-1)                    # (T, J)
+    a_dst = (xwh * a_d).sum(axis=-1)
+    e = a_dst[:, :, None] + a_src[:, None, :]           # (T, Jd, Js)
+    el = jnp.where(e >= 0, e, 0.2 * e)
+    em = jnp.where(mask[None, :, :] > 0, el, jnp.float32(-jnp.inf))
+    return jax.nn.softmax(em, axis=-1), xwh, e
+
+
+def _gat_rolled(x, mask, w_h, att_src, att_dst, bias, heads: int, mm_dtype):
+    """:func:`_gat` with the head loop ROLLED (``lax.fori_loop``) — ~4x
+    fewer Mosaic instructions, cutting the remote-compile wall per kernel.
+
+    Rolled layout (see :func:`_roll_gat_params`): ``w_h`` (H, F_in, F) and
+    ``att_src``/``att_dst`` (H, 1, F) so the per-head dynamic index lands on
+    an UNTILED leading axis (sublane-aligned slicing is not required)."""
+    t, j, f = x.shape
+    x_flat = x.reshape(t * j, f)
+
+    def body(h, out):
+        wh = jax.lax.dynamic_index_in_dim(w_h, h, 0, keepdims=False)
+        a_s = jax.lax.dynamic_index_in_dim(att_src, h, 0, keepdims=False)
+        a_d = jax.lax.dynamic_index_in_dim(att_dst, h, 0, keepdims=False)
+        alpha, xwh, _ = _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f,
+                                        mm_dtype)
+        return out + jax.lax.dot_general(
+            alpha.astype(mm_dtype), xwh.astype(mm_dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    out = jax.lax.fori_loop(0, heads, body,
+                            jnp.zeros((t, j, f), jnp.float32))
+    return out / heads + bias
+
+
+def _roll_gat_params(params: tuple, num_layers: int) -> tuple:
+    """Kernel-order tuple -> rolled-head layout for the GAT layers:
+    w (F_in, H*F) -> (H, F_in, F); att_src/att_dst (H, F) -> (H, 1, F).
+    Runs OUTSIDE the kernel (plain XLA ops, once per call)."""
+    out = list(params)
+    offs, _ = _param_offsets(num_layers)
+    for i, (start, _cnt, _ln) in enumerate(offs):
+        if i % 2 == 0:
+            w, att_src = params[start], params[start + 1]
+            h, f = att_src.shape
+            f_in = w.shape[0]
+            out[start] = w.reshape(f_in, h, f).transpose(1, 0, 2)
+            out[start + 1] = att_src[:, None, :]
+            out[start + 2] = params[start + 2][:, None, :]
+    return tuple(out)
+
+
+def _unroll_gat_grads(dparams: tuple, num_layers: int) -> tuple:
+    """Inverse of :func:`_roll_gat_params` for the gradient tuple."""
+    out = list(dparams)
+    offs, _ = _param_offsets(num_layers)
+    for i, (start, _cnt, _ln) in enumerate(offs):
+        if i % 2 == 0:
+            dw = dparams[start]                         # (H, F_in, F)
+            h, f_in, f = dw.shape
+            out[start] = dw.transpose(1, 0, 2).reshape(f_in, h * f)
+            out[start + 1] = dparams[start + 1][:, 0, :]
+            out[start + 2] = dparams[start + 2][:, 0, :]
+    return tuple(out)
+
+
 def _graph_conv(x, adj, w_rel, w_root, b, mm_dtype):
     """DenseGraphConv semantics on a (TILE, J, F) block."""
     t, j, f = x.shape
@@ -122,18 +191,20 @@ def _graph_conv(x, adj, w_rel, w_root, b, mm_dtype):
     return flat.reshape(t, j, f) + b
 
 
-def _kernel(num_layers, heads, mm_dtype, x_ref, adj_ref, mask_ref, *refs):
+def _kernel(num_layers, heads, mm_dtype, rolled, x_ref, adj_ref, mask_ref,
+            *refs):
     *param_refs, out_ref = refs
     x = x_ref[...].astype(jnp.float32)                  # (TILE, J, F)
     adj = adj_ref[...]
     mask = mask_ref[...]
+    gat = _gat_rolled if rolled else _gat
     p = 0
     for i in range(num_layers):
         residual = x
         if i % 2 == 0:
             w, a_s, a_d, b = (r[...] for r in param_refs[p:p + 4])
             p += 4
-            x = _gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
+            x = gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
         else:
             w_rel, w_root, b = (r[...] for r in param_refs[p:p + 3])
             p += 3
@@ -147,18 +218,23 @@ def _kernel(num_layers, heads, mm_dtype, x_ref, adj_ref, mask_ref, *refs):
 
 def fused_gcn_stack(x: jnp.ndarray, params: tuple, adjacency,
                     heads: int = 4, num_layers: int = 5,
-                    precise: bool = False) -> jnp.ndarray:
+                    precise: bool = False,
+                    rolled: bool = False) -> jnp.ndarray:
     """Run the fused stack.  ``x``: (..., J, F); returns the same shape.
 
     ``params``: tuple from :func:`extract_stack_params`; ``adjacency``:
     (J, J) constant numpy float, A[dst, src] WITHOUT self-loops (GAT adds
-    them, GraphConv does not — matching a2m/nn/graph.py).
+    them, GraphConv does not — matching a2m/nn/graph.py).  ``rolled``
+    selects the fori_loop head loop (same math, ~4x fewer Mosaic
+    instructions -> faster remote compile; see :func:`_gat_rolled`).
     """
     adj_np = np.asarray(adjacency, np.float32)
     mask_np = (np.maximum(adj_np, np.eye(adj_np.shape[0]))
                > 0).astype(np.float32)
+    if rolled:
+        params = _roll_gat_params(params, num_layers)
     args = (x, params, jnp.asarray(adj_np), jnp.asarray(mask_np), heads,
-            num_layers, precise)
+            num_layers, precise, rolled)
     if jax.default_backend() != 'tpu':
         # tests: eager TPU-interpreter execution (the context must be
         # active when pallas_call lowers, i.e. outside jit)
@@ -167,7 +243,8 @@ def fused_gcn_stack(x: jnp.ndarray, params: tuple, adjacency,
     return _fused_jit(*args)
 
 
-def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False):
+def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False,
+                rolled=False):
     lead = x.shape[:-2]
     j, f = x.shape[-2:]
     n = int(np.prod(lead)) if lead else 1
@@ -183,7 +260,8 @@ def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False):
     in_specs += [bcast(p.shape) for p in params]
 
     kernel = functools.partial(_kernel, num_layers, heads,
-                               jnp.float32 if precise else jnp.bfloat16)
+                               jnp.float32 if precise else jnp.bfloat16,
+                               rolled)
     call = pl.pallas_call(
         kernel,
         grid=(n_pad // TILE,),
@@ -197,7 +275,8 @@ def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False):
 
 
 _fused_jit = jax.jit(_fused_impl,
-                     static_argnames=('heads', 'num_layers', 'precise'))
+                     static_argnames=('heads', 'num_layers', 'precise',
+                                      'rolled'))
 
 
 # ===========================================================================
@@ -293,6 +372,59 @@ def _gat_bwd(x, mask, w, att_src, att_dst, d_h, heads, mm_dtype):
     return (d_x, d_w, jnp.stack(d_att_src), jnp.stack(d_att_dst), d_bias)
 
 
+def _gat_bwd_rolled(x, mask, w_h, att_src, att_dst, d_h, heads, mm_dtype):
+    """:func:`_gat_bwd` with the head loop rolled (see :func:`_gat_rolled`).
+
+    Takes/returns the rolled param layout: w_h (H, F_in, F), att (H, 1, F);
+    grads come back in the same layout (``_unroll_gat_grads`` restores the
+    kernel-order shapes outside the kernel)."""
+    t, j, f = x.shape
+    x_flat = x.reshape(t * j, f)
+    d_bias = d_h.sum(axis=(0, 1))
+    d_outh = d_h / heads
+
+    def body(h, carry):
+        d_x, d_w, d_as, d_ad = carry
+        wh = jax.lax.dynamic_index_in_dim(w_h, h, 0, keepdims=False)
+        a_s = jax.lax.dynamic_index_in_dim(att_src, h, 0, keepdims=False)
+        a_d = jax.lax.dynamic_index_in_dim(att_dst, h, 0, keepdims=False)
+        alpha, xwh, e = _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f,
+                                        mm_dtype)
+        d_alpha = jax.lax.dot_general(
+            d_outh.astype(mm_dtype), xwh.astype(mm_dtype),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        d_xwh = jax.lax.dot_general(
+            alpha.astype(mm_dtype), d_outh.astype(mm_dtype),
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (T, Js, F)
+        s = (alpha * d_alpha).sum(axis=-1, keepdims=True)
+        d_em = alpha * (d_alpha - s)                    # 0 at masked entries
+        d_e = d_em * jnp.where(e >= 0, 1.0, 0.2)
+        d_a_dst = d_e.sum(axis=2)                       # (T, Jd)
+        d_a_src = d_e.sum(axis=1)                       # (T, Js)
+        d_xwh = d_xwh + (d_a_src[..., None] * a_s
+                         + d_a_dst[..., None] * a_d)
+        d_flat = d_xwh.reshape(t * j, f)
+        d_x = d_x + _mm(d_flat, wh.T, mm_dtype).reshape(t, j, f)
+        d_w = jax.lax.dynamic_update_slice(
+            d_w, _mm(x_flat.T, d_flat, mm_dtype)[None], (h, 0, 0))
+        d_as = jax.lax.dynamic_update_slice(
+            d_as, (xwh * d_a_src[..., None]).sum(axis=(0, 1))[None, None],
+            (h, 0, 0))
+        d_ad = jax.lax.dynamic_update_slice(
+            d_ad, (xwh * d_a_dst[..., None]).sum(axis=(0, 1))[None, None],
+            (h, 0, 0))
+        return d_x, d_w, d_as, d_ad
+
+    init = (jnp.zeros((t, j, f), jnp.float32),
+            jnp.zeros(w_h.shape, jnp.float32),
+            jnp.zeros(att_src.shape, jnp.float32),
+            jnp.zeros(att_dst.shape, jnp.float32))
+    d_x, d_w, d_as, d_ad = jax.lax.fori_loop(0, heads, body, init)
+    return d_x, d_w, d_as, d_ad, d_bias
+
+
 def _graph_conv_bwd(x, adj, w_rel, w_root, d_h, mm_dtype):
     """Backward of :func:`_graph_conv`; returns (d_x, d_w_rel, d_w_root,
     d_b)."""
@@ -318,14 +450,15 @@ def _graph_conv_bwd(x, adj, w_rel, w_root, d_h, mm_dtype):
     return d_x, d_w_rel, d_w_root, d_b
 
 
-def _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype):
+def _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype, rolled=False):
     """One stack layer forward from flat params at offset ``p``; returns
     (x_next, new_p)."""
     residual = x
     if i % 2 == 0:
         w, a_s, a_d, b = params[p:p + 4]
         p += 4
-        h = _gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
+        gat = _gat_rolled if rolled else _gat
+        h = gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
     else:
         w_rel, w_root, b = params[p:p + 3]
         p += 3
@@ -336,8 +469,8 @@ def _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype):
     return jnp.where(y >= 0, y, 0.2 * y) + residual, p
 
 
-def _fwd_kernel(num_layers, heads, mm_dtype, x_ref, adj_ref, mask_ref,
-                *refs):
+def _fwd_kernel(num_layers, heads, mm_dtype, rolled, x_ref, adj_ref,
+                mask_ref, *refs):
     """Forward + residual stash: outputs (y, xs) where xs[k] is the input
     to layer k+1."""
     *param_refs, y_ref, xs_ref = refs
@@ -348,7 +481,8 @@ def _fwd_kernel(num_layers, heads, mm_dtype, x_ref, adj_ref, mask_ref,
     for i in range(num_layers):
         if i > 0:
             xs_ref[i - 1, ...] = x.astype(xs_ref.dtype)
-        x, p = _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype)
+        x, p = _layer_fwd(i, x, adj, mask, params, p, heads, mm_dtype,
+                          rolled)
     y_ref[...] = x.astype(y_ref.dtype)
 
 
@@ -363,7 +497,7 @@ def _param_offsets(num_layers):
     return offs, p
 
 
-def _bwd_kernel(num_layers, heads, mm_dtype, x0_ref, xs_ref, g_ref,
+def _bwd_kernel(num_layers, heads, mm_dtype, rolled, x0_ref, xs_ref, g_ref,
                 adj_ref, mask_ref, *refs):
     n_params = _param_offsets(num_layers)[1]
     param_refs = refs[:n_params]
@@ -391,9 +525,10 @@ def _bwd_kernel(num_layers, heads, mm_dtype, x0_ref, xs_ref, g_ref,
         start, cnt, ln = offs[i]
         scale, bias = params[ln], params[ln + 1]
         # recompute layer output pre-activation
+        gat_fwd = _gat_rolled if rolled else _gat
         if i % 2 == 0:
             w, a_s, a_d, b = params[start:start + 4]
-            h = _gat(x, mask, w, a_s, a_d, b, heads, mm_dtype)
+            h = gat_fwd(x, mask, w, a_s, a_d, b, heads, mm_dtype)
         else:
             w_rel, w_root, b = params[start:start + 3]
             h = _graph_conv(x, adj, w_rel, w_root, b, mm_dtype)
@@ -404,7 +539,8 @@ def _bwd_kernel(num_layers, heads, mm_dtype, x0_ref, xs_ref, g_ref,
         add(ln, d_scale)
         add(ln + 1, d_bias_ln)
         if i % 2 == 0:
-            d_x, d_w, d_as, d_ad, d_b = _gat_bwd(
+            gat_bwd = _gat_bwd_rolled if rolled else _gat_bwd
+            d_x, d_w, d_as, d_ad, d_b = gat_bwd(
                 x, mask, w, a_s, a_d, d_h, heads, mm_dtype)
             add(start, d_w)
             add(start + 1, d_as)
@@ -423,7 +559,8 @@ def _bwd_kernel(num_layers, heads, mm_dtype, x0_ref, xs_ref, g_ref,
         dparam_refs[idx][...] += val.astype(dparam_refs[idx].dtype)
 
 
-def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise):
+def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise,
+                        rolled=False):
     lead = x.shape[:-2]
     j, f = x.shape[-2:]
     n = int(np.prod(lead)) if lead else 1
@@ -438,7 +575,8 @@ def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise):
                 bcast((j, j)), bcast((j, j))]
     in_specs += [bcast(p.shape) for p in params]
     kernel = functools.partial(_fwd_kernel, num_layers, heads,
-                               jnp.float32 if precise else jnp.bfloat16)
+                               jnp.float32 if precise else jnp.bfloat16,
+                               rolled)
     with _interpret_ctx():
         y, xs = pl.pallas_call(
             kernel,
@@ -454,7 +592,8 @@ def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise):
     return y, xs, n, n_pad
 
 
-def _bwd_call(x, xs, g, params, adj, mask, heads, num_layers, precise):
+def _bwd_call(x, xs, g, params, adj, mask, heads, num_layers, precise,
+              rolled=False):
     """x: (n_pad, J, F) padded input; xs: (L-1, n_pad, J, F); g: (n_pad,
     J, F) zero-padded cotangent.  Returns (dx (n_pad,J,F), dparams)."""
     n_pad, j, f = x.shape
@@ -471,7 +610,8 @@ def _bwd_call(x, xs, g, params, adj, mask, heads, num_layers, precise):
     out_shape += [jax.ShapeDtypeStruct(p.shape, jnp.float32)
                   for p in params]
     kernel = functools.partial(_bwd_kernel, num_layers, heads,
-                               jnp.float32 if precise else jnp.bfloat16)
+                               jnp.float32 if precise else jnp.bfloat16,
+                               rolled)
     with _interpret_ctx():
         outs = pl.pallas_call(
             kernel,
@@ -489,20 +629,24 @@ _TRAINABLE_CACHE: dict = {}
 
 def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
                               heads: int = 4, num_layers: int = 5,
-                              precise: bool = False) -> jnp.ndarray:
+                              precise: bool = False,
+                              rolled: bool = False) -> jnp.ndarray:
     """Differentiable fused stack: the primal runs the eval kernel; under
     ``jax.grad`` the forward stashes per-layer inputs and the backward is a
     second fused kernel producing dx + all parameter grads.
 
     Semantics identical to :class:`a2m.nn.graph.GCNStack`'s XLA path
     (real_motion_model.py:172-201) minus the trailing dropout (applied by
-    the caller).
+    the caller).  ``rolled`` rolls the per-head loop in every kernel
+    (forward, residual-stash forward, backward) — same math, faster Mosaic
+    compile; gradients come back in the caller's original param layout.
     """
     adj_np = np.asarray(adjacency, np.float32)
-    key = (adj_np.tobytes(), adj_np.shape, heads, num_layers, precise)
+    key = (adj_np.tobytes(), adj_np.shape, heads, num_layers, precise,
+           rolled)
     if key not in _TRAINABLE_CACHE:
         _TRAINABLE_CACHE[key] = _make_trainable(adj_np, heads, num_layers,
-                                                precise)
+                                                precise, rolled)
     # outer context: the custom_vjp primal's jaxpr executes after inner
     # per-site contexts exit; the sites keep their own contexts because the
     # backward is traced later (under grad machinery) where this scope is
@@ -511,7 +655,7 @@ def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
         return _TRAINABLE_CACHE[key](x, params)
 
 
-def _make_trainable(adj_np, heads, num_layers, precise):
+def _make_trainable(adj_np, heads, num_layers, precise, rolled=False):
     mask_np = (np.maximum(adj_np, np.eye(adj_np.shape[0]))
                > 0).astype(np.float32)
     adj_c = jnp.asarray(adj_np)
@@ -519,12 +663,15 @@ def _make_trainable(adj_np, heads, num_layers, precise):
 
     @jax.custom_vjp
     def f(x, params):
-        return _fused_impl(x, params, adj_c, mask_c, heads, num_layers,
-                           precise)
+        kp = _roll_gat_params(params, num_layers) if rolled else params
+        return _fused_impl(x, kp, adj_c, mask_c, heads, num_layers,
+                           precise, rolled)
 
     def f_fwd(x, params):
-        y, xs, n, n_pad = _fwd_with_residuals(x, params, adj_c, mask_c,
-                                              heads, num_layers, precise)
+        kp = _roll_gat_params(params, num_layers) if rolled else params
+        y, xs, n, n_pad = _fwd_with_residuals(x, kp, adj_c, mask_c,
+                                              heads, num_layers, precise,
+                                              rolled)
         lead = x.shape[:-2]
         j, f_ = x.shape[-2:]
         out = y[:n].reshape(*lead, j, f_).astype(x.dtype)
@@ -533,10 +680,10 @@ def _make_trainable(adj_np, heads, num_layers, precise):
         if n_pad > n:
             xf = jnp.concatenate(
                 [xf, jnp.zeros((n_pad - n, j, f_), x.dtype)], axis=0)
-        return out, (xf, xs, params, x.shape)
+        return out, (xf, xs, kp, x.shape)
 
     def f_bwd(res, g):
-        xf, xs, params, x_shape = res
+        xf, xs, kp, x_shape = res
         n_pad, j, f_ = xf.shape
         lead = x_shape[:-2]
         n = int(np.prod(lead)) if lead else 1
@@ -544,9 +691,11 @@ def _make_trainable(adj_np, heads, num_layers, precise):
         if n_pad > n:
             gf = jnp.concatenate(
                 [gf, jnp.zeros((n_pad - n, j, f_), jnp.float32)], axis=0)
-        dx, dparams = _bwd_call(xf, xs, gf, params, adj_c, mask_c, heads,
-                                num_layers, precise)
+        dx, dparams = _bwd_call(xf, xs, gf, kp, adj_c, mask_c, heads,
+                                num_layers, precise, rolled)
         dx = dx[:n].reshape(x_shape).astype(jnp.float32)
+        if rolled:
+            dparams = _unroll_gat_grads(dparams, num_layers)
         return dx, tuple(dp.astype(jnp.float32) for dp in dparams)
 
     f.defvjp(f_fwd, f_bwd)

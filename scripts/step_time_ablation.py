@@ -46,6 +46,8 @@ def run_variant(name: str) -> dict:
     g_kwargs = {'dropout': drop} if drop is not None else {}
     if 'fused' in name:
         g_kwargs['fused_gcn'] = True
+    if 'rolled' in name:            # e.g. f32_fused_rolled — rolled-head
+        g_kwargs['fused_rolled'] = True   # kernels (faster Mosaic compile)
     g_cfg = GeneratorConfig(**g_kwargs)
     d_cfg = DiscriminatorConfig(
         **({'dropout': drop} if drop is not None else {}))

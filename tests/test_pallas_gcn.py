@@ -131,6 +131,48 @@ def test_fused_trainable_grads_match_xla_hand():
                                    atol=5e-4 * s, err_msg=f'param {i}')
 
 
+def test_fused_rolled_eval_matches_unrolled():
+    """rolled=True (fori_loop head loop, stacked per-head weights) is the
+    same math as the unrolled kernel — exact in f32."""
+    stack, v, x = _setup(HAND_ADJ)
+    params = pallas_gcn.extract_stack_params(v['params'])
+    a = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, params, HAND_ADJ, heads=2, precise=True))
+    b = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, params, HAND_ADJ, heads=2, precise=True, rolled=True))
+    # fori accumulation order differs from the unrolled sum -> f32 noise
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_fused_rolled_grads_match_xla():
+    """rolled trainable path: grads in the ORIGINAL param layout, matching
+    jax.grad of the XLA stack."""
+    stack, v, x, params, w = _grad_setup(HAND_ADJ, seed=3)
+
+    def loss_fused(x, params):
+        y = pallas_gcn.fused_gcn_stack_trainable(x, params, HAND_ADJ,
+                                                 heads=2, precise=True,
+                                                 rolled=True)
+        return (y * w).sum()
+
+    def loss_xla(x, pdict):
+        y = stack.apply({'params': pdict}, x, train=False)
+        return (y * w).sum()
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r_tree = jax.grad(loss_xla, argnums=(0, 1))(x, v['params'])
+    gp_r = pallas_gcn.extract_stack_params(gp_r_tree)
+    scale = np.abs(np.asarray(gx_r)).max()
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4 * scale)
+    assert len(gp_f) == len(gp_r)
+    for i, (a, b) in enumerate(zip(gp_f, gp_r)):
+        assert a.shape == b.shape, f'param {i} layout'
+        s = max(np.abs(np.asarray(b)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * s, err_msg=f'param {i}')
+
+
 def test_fused_trainable_grads_match_xla_body():
     stack, v, x, params, w = _grad_setup(BODY_ADJ, seed=2)
 
