@@ -15,12 +15,21 @@ Artifacts: per-epoch JSON progress -> ``<save>/campaign_progress.json``;
 final summary (trajectory + controller events + PCK before/after) printed
 as JSON and written to ``<save>/campaign_summary.json``.
 
-Usage: python scripts/full_training_campaign.py [epochs] [--fresh] [--env]
+Usage::
+
+    python scripts/full_training_campaign.py [epochs] [--fresh] [--env] \
+        [--tag NAME] [key.path=value ...]
 
 Default fixtures are ``deterministic`` (pose a deterministic function of the
 mel bands — absolute positions learnable, so PCK can beat the mean-pose
 predictor); ``--env`` selects the envelope-correlated mode (motion
 statistics learnable, positions not — run A of LEARNING.md).
+
+``--tag`` names a separate save root (``/tmp/a2m_campaign_<mode>_<tag>``)
+so ablations coexist; the dataset lives at ``/tmp/a2m_data_<mode>`` and is
+shared across tags.  Trailing ``key.path=value`` args are standard config
+overrides (``a2m.config.apply_overrides``), e.g. ``train.lambda_gan=0
+controller.d_strong_threshold=0`` for a supervised-only diagnostic.
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 MODE = 'det'
+OVERRIDES: list[str] = []
 ROOT = pathlib.Path('/tmp/a2m_campaign')
 SPEAKERS = ('oliver', 'noah', 'seth', 'shelly',
             'ellen', 'angelica', 'almaram', 'chemistry')
@@ -41,11 +51,18 @@ SPEAKERS = ('oliver', 'noah', 'seth', 'shelly',
 
 def build_dataset() -> pathlib.Path:
     """8 speakers x 5 intervals x 120 s, 3/1/1 train/dev/test — ~8.2k train
-    windows (65 batches @ B=128), correlated audio->motion structure."""
+    windows (65 batches @ B=128), correlated audio->motion structure.
+
+    Shared across campaign tags at ``/tmp/a2m_data_<mode>`` (migrates a
+    pre-tag ``<root>/data`` tree if one exists)."""
     from a2m.data.synthetic import make_synthetic_pats
-    data = ROOT / 'data'
+    data = pathlib.Path(f'/tmp/a2m_data_{MODE}')
     marker = data / '.complete'
     if marker.exists():
+        return data
+    legacy = pathlib.Path(f'/tmp/a2m_campaign_{MODE}') / 'data'
+    if (legacy / '.complete').exists():
+        shutil.move(str(legacy), str(data))
         return data
     if data.exists():
         shutil.rmtree(data)
@@ -99,11 +116,11 @@ def instrument_controller(ctrl, events: list):
 
 
 def main(epochs: int = 80, fresh: bool = False) -> None:
-    if fresh and ROOT.exists():
-        shutil.rmtree(ROOT)
+    if fresh and (ROOT / 'save').exists():
+        shutil.rmtree(ROOT / 'save')
     data = build_dataset()
 
-    from a2m.config import Config, DataConfig, TrainConfig
+    from a2m.config import Config, DataConfig, TrainConfig, apply_overrides
     from a2m.data import DataLoader
     from a2m.train.loop import Trainer
 
@@ -114,6 +131,18 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
                           save_dir=str(save), resume=True,
                           log_every_batches=50),
     )
+    # CLI overrides: bare keys address TrainConfig/ControllerConfig directly
+    qualified = [(o if o.split('=')[0].split('.')[0] in
+                  ('audio', 'data', 'generator', 'discriminator', 'train',
+                   'mesh')
+                  else ('train.controller.' + o if o.startswith(
+                      ('d_', 'g_', 'init_', 'min_', 'max_', 'real_', 'fake_',
+                       'dynamic_', 'history_', 'window', 'anneal_'))
+                        else 'train.' + o))
+                 for o in OVERRIDES]
+    if qualified:
+        cfg = apply_overrides(cfg, qualified)
+        print(f'config overrides: {qualified}', flush=True)
     dl = DataLoader(path2data=cfg.data.path2data,
                     speaker=list(cfg.data.speakers),
                     modalities=list(cfg.data.modalities),
@@ -173,7 +202,8 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
         print(f'PCK[{name}] = {r["pck_by_alpha"]}  L2 = {r["l2"]:.2f}',
               flush=True)
 
-    summary = dict(epochs_run=len(epoch_log), events=events,
+    summary = dict(mode=MODE, overrides=OVERRIDES,
+                   epochs_run=len(epoch_log), events=events,
                    val_g=[e['val_g'] for e in epoch_log],
                    val_d=[e['val_d'] for e in epoch_log],
                    best_val_g=best_val, pck=pck,
@@ -186,8 +216,17 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
 
 
 if __name__ == '__main__':
-    args = [a for a in sys.argv[1:] if not a.startswith('--')]
-    if '--env' in sys.argv:
+    argv = sys.argv[1:]
+    tag = ''
+    if '--tag' in argv:
+        i = argv.index('--tag')
+        tag = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith('--')]
+    OVERRIDES = [a for a in args if '=' in a]
+    args = [a for a in args if '=' not in a]
+    if '--env' in argv:
         MODE = 'env'
-    ROOT = pathlib.Path(f'/tmp/a2m_campaign_{MODE}')
-    main(int(args[0]) if args else 80, fresh='--fresh' in sys.argv)
+    ROOT = pathlib.Path(f'/tmp/a2m_campaign_{MODE}' + (f'_{tag}' if tag
+                                                       else ''))
+    main(int(args[0]) if args else 80, fresh='--fresh' in argv)

@@ -8,7 +8,8 @@ variant; used for the README A/B table (VERDICT r1 #3).
 Usage: python scripts/pipeline_ab.py [xla_f32 pallas_f32 xla_bf16 pallas_bf16]
 Each variant takes an optional @<batch> suffix (e.g. xla_f32@256); add
 ``_fusedgcn`` to route the generator's GCN stacks through the fused Pallas
-kernel (e.g. xla_f32_fusedgcn@128 — expect a ~25 min first compile).
+kernel (e.g. xla_f32_fusedgcn@128 — expect a ~25 min first compile), and
+``_rolled`` on top for the rolled-head kernels (much faster compile).
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ def run_variant(name: str) -> dict:
     use_pallas = name.startswith('pallas')
     dtype = jnp.bfloat16 if 'bf16' in name else jnp.float32
     pipeline = bench.build_pipeline(use_pallas=use_pallas, dtype=dtype,
-                                    fused_gcn='fusedgcn' in name)
+                                    fused_gcn='fusedgcn' in name,
+                                    fused_rolled='rolled' in name)
 
     rng = np.random.default_rng(0)
     wave = jax.device_put(
