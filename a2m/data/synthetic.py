@@ -122,15 +122,26 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
         pose = (_rest_pose()[None]
                 + np.einsum('kt,kcj->tcj', envs, basis)).reshape(n_pose, 104)
 
-        def band_mel(n_rows: int, n_mels: int) -> np.ndarray:
-            t = np.linspace(0, n_pose - 1, n_rows)
+        # ALIGNMENT (LEARNING.md "fixture drift"): the loader resamples by
+        # stride slicing with ratio round(fs/fs_new) (reference
+        # dataUtils.py:585-620; a2m/data/windowing.py) — window k, output
+        # frame i reads audio row hop*k + stride*i.  At the nominal fs the
+        # stride-6 grid (89 Hz) drifts off the 15 fps pose grid by k/267 s
+        # (1.3 s over 120 s), which destroys frame-diff predictability
+        # (oracle linear probe: motion R^2 0.19).  The det fixture therefore
+        # writes mel rows on the EXACT stride grid — row r carries the
+        # envelope at pose frame r/stride — so the features the model
+        # receives are frame-locked to the pose it must predict.
+        def band_mel(stride: int, n_mels: int) -> np.ndarray:
+            n_rows = stride * (n_pose - 1) + 1
+            t = np.arange(n_rows) / stride                   # pose frames
             env_r = np.stack([np.interp(t, np.arange(n_pose), e)
                               for e in envs])               # (K, rows)
             mel = np.repeat(env_r.T, n_mels // _DET_BANDS, axis=1)
             return 4.0 * mel - 6.0 + 0.1 * rng.standard_normal(
                 (n_rows, n_mels))
-        mel512 = band_mel(n512, 128)
-        mel400 = band_mel(n400, 64)
+        mel512 = band_mel(round(fs512 / constants.POSE_FPS), 128)
+        mel400 = band_mel(round(fs400 / constants.POSE_FPS), 64)
     elif correlated:
         # smooth random envelope in [0.1, 1] at pose rate
         knots = rng.uniform(0.1, 1.0, max(4, int(duration_s)))

@@ -115,6 +115,42 @@ def test_train_shuffled_deterministic(pats_root):
     np.testing.assert_array_equal(b1['idx'], b2['idx'])
 
 
+def test_det_fixture_frame_locked(tmp_path):
+    """Deterministic fixture stays frame-locked to pose through the loader's
+    stride-slicing resample for EVERY window, including late ones.
+
+    Guards the LEARNING.md "fixture drift" fix: at the nominal 89 Hz grid the
+    stride-6 slice drifts k/267 s per window k, which silently destroys
+    frame-diff (motion) predictability while leaving early-window envelope
+    correlation near 1 — so this asserts on the LAST window."""
+    from a2m.data.synthetic import make_synthetic_pats
+
+    make_synthetic_pats(tmp_path, speakers=('oliver',),
+                        intervals_per_speaker=1, duration_s=40.0, seed=0,
+                        deterministic=True, splits=('train',))
+    dl = DataLoader(path2data=str(tmp_path), speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=512, window_hop=5,
+                    shuffle=False)
+    b = next(iter(dl.train))
+    mel, pose, m = b['audio/log_mel_512'], b['pose/data'], b['mask'] > 0
+    mel, pose = mel[m], pose[m]
+    env_a = (mel.reshape(*mel.shape[:2], 8, 16).mean(-1) + 6.0) / 4.0
+    # recover pose-side envelopes by projecting onto the known basis
+    from a2m.data.synthetic import _det_basis, _rest_pose
+    basis = _det_basis().reshape(8, 104)
+    resid = pose - _rest_pose().reshape(104)
+    env_p = np.linalg.lstsq(basis.T, resid.reshape(-1, 104).T,
+                            rcond=None)[0].T.reshape(*pose.shape[:2], 8)
+    # absolute error, not correlation (a flat envelope in one window makes
+    # corr noise-limited): mel noise is 0.1/4/sqrt(16 bins) = 0.006 per
+    # band-frame; drift in the pre-fix fixture produced errors ~0.1+ on
+    # late windows (env slope ~0.3/s x 1.3 s)
+    for w in (0, len(mel) // 2, len(mel) - 1):       # first / mid / LAST
+        rms = np.sqrt(((env_a[w] - env_p[w]) ** 2).mean(axis=0))
+        assert rms.max() < 0.02, f'window {w}: band rms {rms}'
+
+
 def test_missing_interval_exclusion(pats_root):
     md = hdf5_io.MissingData(pats_root)
     # mark one known interval missing and reload
