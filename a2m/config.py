@@ -55,6 +55,12 @@ class DataConfig:
     # process_count=-1 resolves both from jax.process_index()/count()
     process_index: int | None = None
     process_count: int | None = None
+    # a2m extension (off = reference parity): drift-free windowing.  The
+    # reference's stride-slicing resample drifts k/267 s per window between
+    # the 89 Hz mel grid and 15 fps pose (LEARNING.md "fixture drift");
+    # exact mode gathers each output frame's nearest source row instead
+    # (a2m/data/windowing.py::ExactWindowIndex)
+    exact_windows: bool = False
 
 
 @dataclass(frozen=True)
@@ -133,6 +139,15 @@ class ControllerConfig:
     anneal_start_epoch: int = 0
     anneal_end_epoch: int = 60
     max_smooth_offset: float = 0.05
+    # a2m extension (OFF by default = exact reference parity): bounds on the
+    # multiplicative LR adaptation.  The reference law multiplies g_lr by
+    # 1.05 every epoch while recent_d < d_strong_threshold with no clamp
+    # (version5_model_train.py:96-133) — measured at full scale this
+    # compounds 26x over 80 epochs and diverges training (LEARNING.md run
+    # B).  g_lr_max caps the growth; d_lr_min floors the 0.9x decay so a
+    # skipped D can recover.  0.0 disables either bound.
+    g_lr_max: float = 0.0
+    d_lr_min: float = 0.0
 
 
 @dataclass(frozen=True)

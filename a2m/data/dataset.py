@@ -24,7 +24,8 @@ from typing import Sequence
 import numpy as np
 
 from a2m.data import hdf5_io, modalities as mods
-from a2m.data.windowing import WindowIndex, window_index
+from a2m.data.windowing import (WindowIndex, exact_window_index,
+                                window_index)
 
 # minimal english stopword list for the filler channel (reference uses
 # nltk.corpus.stopwords, dataUtils.py:88; capability-equivalent subset)
@@ -80,7 +81,8 @@ class IntervalData:
                  fs_new: Sequence[int], time: float,
                  modality_classes: dict, window_hop: int = 0, style: int = 0,
                  repeat_text: int = 1, text_in_modalities: bool = False,
-                 filler: int = 0, **kwargs):
+                 filler: int = 0, exact_windows: bool = False, **kwargs):
+        self.exact_windows = exact_windows
         self.path2h5 = path2h5
         self.modalities = list(modalities)
         self.fs_new = list(fs_new)
@@ -116,10 +118,11 @@ class IntervalData:
         self.update_idx_list(self.time, self.window_hop)
 
     def update_idx_list(self, time: float, window_hop: int = 0) -> None:
+        index_fn = exact_window_index if self.exact_windows else window_index
         for modality, fs_new, shape in zip(self.modalities, self.fs_new,
                                            self.shapes):
             fs = self.modality_classes[modality].fs(modality)
-            self.windows[modality] = window_index(
+            self.windows[modality] = index_fn(
                 shape[0], fs, fs_new, time, window_hop)
 
     def __len__(self) -> int:
@@ -415,7 +418,8 @@ class DataLoader(mods.Modality):
                  repeat_text=1, quantile_sample=None,
                  quantile_num_training_sample=None, weighted=0, filler=False,
                  num_training_iters=None, seed=0, use_pallas=None,
-                 max_intervals=None, process_index=None, process_count=None):
+                 max_intervals=None, process_index=None, process_count=None,
+                 exact_windows=False):
         self.path2data = path2data
         if isinstance(speaker, str):
             speaker = [speaker]
@@ -439,6 +443,9 @@ class DataLoader(mods.Modality):
         self.num_training_iters = num_training_iters
         self.seed = seed
         self.max_intervals = max_intervals
+        # a2m extension (off = reference parity): drift-free windowing —
+        # see windowing.ExactWindowIndex
+        self.exact_windows = exact_windows
         # multi-host data feeding (SURVEY §2.5 DP row): every split is
         # strided across processes so each host loads and feeds a disjoint
         # interval shard over DCN; None = this process's jax identity
@@ -599,7 +606,7 @@ class DataLoader(mods.Modality):
                       window_hop=self.window_hop,
                       repeat_text=self.repeat_text,
                       text_in_modalities=self.text_in_modalities,
-                      filler=self.filler)
+                      filler=self.filler, exact_windows=self.exact_windows)
         return [IntervalData(self.getPath2file(i), style=self.getStyle(i),
                              **kwargs) for i in intervals]
 
@@ -726,6 +733,7 @@ DATACONFIG_FIELD_MAP: dict[str, str] = {
     'filler': 'filler',
     'process_index': 'process_index',
     'process_count': 'process_count',
+    'exact_windows': 'exact_windows',
 }
 
 

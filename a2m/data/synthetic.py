@@ -84,7 +84,8 @@ def _smooth_envelopes(n_frames: int, rng: np.random.Generator,
 def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
                    with_text: bool = False, correlated: bool = False,
                    with_norm_stats: bool = False,
-                   deterministic: bool = False) -> None:
+                   deterministic: bool = False,
+                   det_grid: str = 'stride') -> None:
     """Write one interval .h5 with pose/audio(/text) datasets.
 
     ``correlated=True`` makes the pose motion amplitude follow a smooth
@@ -132,16 +133,24 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
         # writes mel rows on the EXACT stride grid — row r carries the
         # envelope at pose frame r/stride — so the features the model
         # receives are frame-locked to the pose it must predict.
-        def band_mel(stride: int, n_mels: int) -> np.ndarray:
-            n_rows = stride * (n_pose - 1) + 1
-            t = np.arange(n_rows) / stride                   # pose frames
+        # ``det_grid='nominal'`` instead writes rows on the true fs grid
+        # (row r at time r/fs) — frame-locked only under the loader's
+        # ``exact_windows=True`` extension; used to test that extension.
+        def band_mel(fs: int, n_mels: int) -> np.ndarray:
+            stride = round(fs / constants.POSE_FPS)
+            if det_grid == 'stride':
+                n_rows = stride * (n_pose - 1) + 1
+                t = np.arange(n_rows) / stride               # pose frames
+            else:
+                n_rows = int(duration_s * fs) + 1
+                t = np.arange(n_rows) * (constants.POSE_FPS / fs)
             env_r = np.stack([np.interp(t, np.arange(n_pose), e)
                               for e in envs])               # (K, rows)
             mel = np.repeat(env_r.T, n_mels // _DET_BANDS, axis=1)
             return 4.0 * mel - 6.0 + 0.1 * rng.standard_normal(
                 (n_rows, n_mels))
-        mel512 = band_mel(round(fs512 / constants.POSE_FPS), 128)
-        mel400 = band_mel(round(fs400 / constants.POSE_FPS), 64)
+        mel512 = band_mel(fs512, 128)
+        mel400 = band_mel(fs400, 64)
     elif correlated:
         # smooth random envelope in [0.1, 1] at pose rate
         knots = rng.uniform(0.1, 1.0, max(4, int(duration_s)))
@@ -201,7 +210,7 @@ def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                         duration_s: float = 12.0, seed: int = 0,
                         with_text: bool = False, correlated: bool = False,
                         with_norm_stats: bool = False,
-                        deterministic: bool = False,
+                        deterministic: bool = False, det_grid: str = 'stride',
                         splits=('train', 'train', 'dev', 'test')) -> Path:
     """Build a synthetic PATS tree under ``root`` and return its path.
 
@@ -224,6 +233,6 @@ def make_synthetic_pats(root, speakers=('oliver', 'noah'),
                            duration_s, rng, with_text=with_text,
                            correlated=correlated,
                            with_norm_stats=with_norm_stats,
-                           deterministic=deterministic)
+                           deterministic=deterministic, det_grid=det_grid)
     pd.DataFrame(rows).to_csv(root / 'cmu_intervals_df.csv', index=False)
     return root

@@ -102,6 +102,13 @@ class DynamicGANTraining:
             elif recent_d > 0.65 and recent_g < 0.3:
                 self.d_lr_current *= 1.05
                 self.g_lr_current *= 0.9
+        # a2m extension, off by default (ControllerConfig docstring): the
+        # reference law is unbounded and diverges at full scale
+        # (LEARNING.md run B — g_lr compounds 26x over 80 epochs)
+        if c.g_lr_max > 0:
+            self.g_lr_current = min(self.g_lr_current, c.g_lr_max)
+        if c.d_lr_min > 0:
+            self.d_lr_current = max(self.d_lr_current, c.d_lr_min)
         return self.g_lr_current, self.d_lr_current
 
     # -- smooth labels (version5_model_train.py:137-180) -------------------

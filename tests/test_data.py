@@ -151,6 +151,67 @@ def test_det_fixture_frame_locked(tmp_path):
         assert rms.max() < 0.02, f'window {w}: band rms {rms}'
 
 
+def test_exact_windowing_drift_bound():
+    """ExactWindowIndex timestamp error is bounded by half a source sample
+    for EVERY window; the reference stride slicing drifts linearly in the
+    window index (>1 s by the end of a 120 s interval at 89 Hz/15 fps)."""
+    from a2m.data.windowing import exact_window_index, window_index
+
+    fs, fs_new, time, hop, n_rows = 89, 15, 4.3, 5, int(120 * 89) + 1
+    wi = window_index(n_rows, fs, fs_new, time, hop)
+    we = exact_window_index(n_rows, fs, fs_new, time, hop)
+    assert we.out_len == wi.out_len == 64
+
+    def worst_err(rows_fn, starts_frame):
+        err = 0.0
+        for k in range(0, len(starts_frame), 25):
+            target_t = (starts_frame[k] + np.arange(64)) / fs_new
+            err = max(err, np.abs(rows_fn(k) / fs - target_t).max())
+        return err
+
+    # exact mode: every gathered row within half a sample of its frame time
+    e_exact = worst_err(
+        lambda k: np.rint((we.start_frames[k] + np.arange(64))
+                          * (fs / fs_new)),
+        we.start_frames)
+    assert e_exact <= 0.5 / fs + 1e-9
+    # stride mode: source row = start + 6*i, window starts every 30 rows
+    e_stride = worst_err(
+        lambda k: wi.starts[k] + np.arange(64) * wi.stride,
+        np.arange(len(wi)) * 5)
+    assert e_stride > 1.0   # seconds of drift by the late windows
+
+
+def test_exact_windows_loader_frame_locked(tmp_path):
+    """DataLoader(exact_windows=True) frame-locks a NOMINAL-grid det fixture
+    (reference stride mode drifts on it — that is the extension's point)."""
+    from a2m.data.synthetic import _det_basis, _rest_pose, make_synthetic_pats
+
+    make_synthetic_pats(tmp_path, speakers=('oliver',),
+                        intervals_per_speaker=1, duration_s=40.0, seed=0,
+                        deterministic=True, det_grid='nominal',
+                        splits=('train',))
+
+    def env_rms_last_window(exact):
+        dl = DataLoader(path2data=str(tmp_path), speaker=['oliver'],
+                        modalities=['pose/data', 'audio/log_mel_512'],
+                        fs_new=[15, 15], batch_size=512, window_hop=5,
+                        shuffle=False, exact_windows=exact)
+        b = next(iter(dl.train))
+        m = b['mask'] > 0
+        mel, pose = b['audio/log_mel_512'][m], b['pose/data'][m]
+        env_a = (mel.reshape(*mel.shape[:2], 8, 16).mean(-1) + 6.0) / 4.0
+        basis = _det_basis().reshape(8, 104)
+        resid = (pose - _rest_pose().reshape(104)).reshape(-1, 104)
+        env_p = np.linalg.lstsq(basis.T, resid.T,
+                                rcond=None)[0].T.reshape(*pose.shape[:2], 8)
+        w = len(mel) - 1
+        return float(np.sqrt(((env_a[w] - env_p[w]) ** 2).mean()))
+
+    assert env_rms_last_window(exact=True) < 0.02
+    assert env_rms_last_window(exact=False) > 0.05   # the reference drift
+
+
 def test_missing_interval_exclusion(pats_root):
     md = hdf5_io.MissingData(pats_root)
     # mark one known interval missing and reload

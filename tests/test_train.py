@@ -82,6 +82,28 @@ def test_lr_adaptation():
     assert d2 == pytest.approx(1e-3 * 1.05)
 
 
+def test_lr_clamps():
+    """a2m extension: g_lr_max / d_lr_min bound the multiplicative law.
+
+    Parity default (0.0) stays unbounded — LEARNING.md run B measured the
+    reference law compounding g_lr 26x over 80 epochs at full scale."""
+    # unbounded by default: 40 "D strong" epochs compound without limit
+    c = make_ctrl(g_lr=5e-4, d_lr=1e-3)
+    for _ in range(20):
+        c.update_loss_history(0.1, 0.9)
+    for epoch in range(40):
+        g, d = c.adjust_learning_rates(epoch)
+    assert g == pytest.approx(5e-4 * 1.05 ** 40)
+    assert d == pytest.approx(1e-3 * 0.9 ** 40)
+    # clamped: growth stops at g_lr_max, decay floors at d_lr_min
+    c2 = make_ctrl(g_lr=5e-4, d_lr=1e-3, g_lr_max=1e-3, d_lr_min=5e-4)
+    for _ in range(20):
+        c2.update_loss_history(0.1, 0.9)
+    for epoch in range(40):
+        g, d = c2.adjust_learning_rates(epoch)
+    assert g == 1e-3 and d == 5e-4
+
+
 def test_label_annealing():
     c = make_ctrl()
     lp0 = c.label_params(0, is_real=True)
