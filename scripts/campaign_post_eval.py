@@ -50,7 +50,28 @@ def main(mode: str = 'det') -> None:
     CheckpointManager(final_dir).save_best_generator(restored['g_state'])
     print(f'final checkpoint epoch: {restored["epoch"]}', flush=True)
 
-    out = {'final_epoch': restored['epoch']}
+    # calibration: the mean-pose predictor (train-set neck-sub mean for
+    # every frame) — the bar a model must beat to demonstrate actual
+    # audio->pose learning on position metrics
+    import numpy as np
+    from a2m.data import DataLoader, get_mean_std_necksub, neck_subtract
+    from a2m.eval.metrics import compute_pck
+    dl = DataLoader(path2data=str(data), speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=128, window_hop=5,
+                    shuffle=False)
+    mean, _ = get_mean_std_necksub(dl.train)
+    mp = {str(a): [] for a in (0.2, 0.1)}
+    for b in dl.test:
+        real = neck_subtract(b['pose/data'])[b['mask'] > 0]
+        rk = real.reshape(-1, 2, 52)
+        gk = np.broadcast_to(mean.reshape(1, 2, 52), rk.shape)
+        for a in (0.2, 0.1):
+            mp[str(a)].append(np.asarray(compute_pck(gk, rk, alpha=a)))
+    out = {'final_epoch': restored['epoch'],
+           'mean_pose': {'pck_by_alpha': {k: float(np.concatenate(v).mean())
+                                          for k, v in mp.items()}}}
+    print(json.dumps({'mean_pose': out['mean_pose']}), flush=True)
     for name, ck in (('untrained', None),
                      ('best_val_g', save / 'ckpt'),
                      ('final_epoch', final_dir)):
