@@ -316,6 +316,7 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                   + cfg.lambda_d * L.masked_mean((fake_d - fake_lab) ** 2,
                                                  mask))
         return dict(val_g=kin['reg'] + cfg.lambda_gan * g_gan, val_d=d_loss,
+                    reg=kin['reg'], gan=g_gan,
                     bone=kin['bone'], angle=kin['angle'],
                     smooth=kin['smooth'], jerk=kin['jerk'])
 
