@@ -161,6 +161,13 @@ class TrainConfig:
     # (real_motion_model.py:635-640, optional there too); requires
     # discriminator.use_aux_classifier=true
     lambda_aux: float = 0.0
+    # a2m extension (default 0 = exact reference objective): L1 on absolute
+    # normalized pose.  The reference supervises only frame diffs
+    # (version5_model_train.py:367-376), so absolute position — what PCK
+    # measures — is a free integration constant; the round-3 campaign
+    # (LEARNING.md) showed trained PCK cannot beat a static mean pose under
+    # that objective.  lambda_pos > 0 pins it.
+    lambda_pos: float = 0.0
     save_dir: str = './save/multi_speaker'
     save_every_epochs: int = 1
     log_every_batches: int = 200

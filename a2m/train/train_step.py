@@ -161,6 +161,7 @@ def masked_motion_losses(real_pose, real_motion, fake_pose, fake_motion,
     jerk = accel[:, 1:] - accel[:, :-1]
     return dict(
         reg=mm(jnp.abs(real_motion - fake_motion)),
+        pos=mm(jnp.abs(real_pose - fake_pose)),
         smooth=mm(L.safe_norm(accel, axis=-1)),
         jerk=mm(L.safe_norm(jerk, axis=-1)),
         bone=mm((L.bone_lengths(fake_pose) - L.bone_lengths(real_pose)) ** 2),
@@ -222,7 +223,7 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                       * L.masked_mean((fake_d - valid) ** 2, mask))
             total = (g_loss + cfg.lambda_smooth * kin['smooth']
                      + cfg.lambda_jerk * kin['jerk'] + kin['bone']
-                     + kin['angle'])
+                     + kin['angle'] + cfg.lambda_pos * kin['pos'])
             metrics = dict(g_loss=total, g_gan=g_loss, smooth=kin['smooth'],
                            jerk=kin['jerk'], bone=kin['bone'],
                            angle=kin['angle'])
@@ -316,7 +317,7 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                   + cfg.lambda_d * L.masked_mean((fake_d - fake_lab) ** 2,
                                                  mask))
         return dict(val_g=kin['reg'] + cfg.lambda_gan * g_gan, val_d=d_loss,
-                    reg=kin['reg'], gan=g_gan,
+                    reg=kin['reg'], pos=kin['pos'], gan=g_gan,
                     bone=kin['bone'], angle=kin['angle'],
                     smooth=kin['smooth'], jerk=kin['jerk'])
 

@@ -400,3 +400,30 @@ def test_train_steps_with_audio_fusion(rng):
     ev2 = eval_step(g_state, d_state, audio + 1.0, pose, mean, std,
                     jnp.ones(4))
     assert float(ev2['val_d']) != float(ev['val_d'])
+
+
+def test_lambda_pos_extension(steps_and_states, rng):
+    """train.lambda_pos (a2m extension, default 0 = reference objective)
+    adds masked L1 on absolute normalized pose to the G total, so PCK-style
+    position tracking becomes trainable (LEARNING.md round-3 campaign)."""
+    from a2m.models import Discriminator, Generator
+    _, _, eval_step, g_state, d_state = steps_and_states
+    audio, pose = _fake_batch(rng)
+    mean, std = jnp.zeros(104), jnp.ones(104)
+    ev = eval_step(g_state, d_state, audio, pose, mean, std, jnp.ones(4))
+    assert np.isfinite(float(ev['pos'])) and float(ev['pos']) > 0
+
+    g_model, d_model = Generator(TINY_G), Discriminator(TINY_D)
+    g_step0, _, _ = make_train_steps(g_model, d_model,
+                                     TrainConfig(), donate=False,
+                                     jit_steps=False)
+    g_step1, _, _ = make_train_steps(g_model, d_model,
+                                     TrainConfig(lambda_pos=10.0),
+                                     donate=False, jit_steps=False)
+    _, _, m0 = g_step0(g_state, d_state, audio, pose, mean, std, 0.93,
+                       0.01, jax.random.PRNGKey(1))
+    _, _, m1 = g_step1(g_state, d_state, audio, pose, mean, std, 0.93,
+                       0.01, jax.random.PRNGKey(1))
+    # same inputs/key: totals differ by exactly the pos term's weight
+    assert float(m1['g_loss']) > float(m0['g_loss'])
+    assert np.isfinite(float(m1['g_loss']))
