@@ -121,6 +121,28 @@ def _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f, mm_dtype):
     return jax.nn.softmax(em, axis=-1), xwh, e
 
 
+def _dyn_index0(a, h):
+    """Value-level dynamic index along the leading axis, Mosaic-safe.
+
+    Mosaic's TC lowering has no ``dynamic_slice`` rule for VALUES (only for
+    ref loads), so ``lax.dynamic_index_in_dim`` inside a kernel fori_loop
+    fails to lower on real TPU (interpret mode accepts it).  An iota mask +
+    sum over the small leading head axis (H <= 4) lowers everywhere and
+    reads the same selected slice exactly (zeros elsewhere)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    return jnp.where(idx == h, a, jnp.zeros_like(a)).sum(axis=0)
+
+
+def _dyn_add0(acc, h, upd):
+    """``acc[h] += upd`` on a value, Mosaic-safe (see :func:`_dyn_index0`).
+
+    ``upd`` broadcasts against ``acc[1:]``; rows other than ``h`` are
+    unchanged (adds an exact 0)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    return acc + jnp.where(idx == h, jnp.broadcast_to(upd[None], acc.shape),
+                           jnp.zeros_like(acc))
+
+
 def _gat_rolled(x, mask, w_h, att_src, att_dst, bias, heads: int, mm_dtype):
     """:func:`_gat` with the head loop ROLLED (``lax.fori_loop``) — ~4x
     fewer Mosaic instructions, cutting the remote-compile wall per kernel.
@@ -132,9 +154,9 @@ def _gat_rolled(x, mask, w_h, att_src, att_dst, bias, heads: int, mm_dtype):
     x_flat = x.reshape(t * j, f)
 
     def body(h, out):
-        wh = jax.lax.dynamic_index_in_dim(w_h, h, 0, keepdims=False)
-        a_s = jax.lax.dynamic_index_in_dim(att_src, h, 0, keepdims=False)
-        a_d = jax.lax.dynamic_index_in_dim(att_dst, h, 0, keepdims=False)
+        wh = _dyn_index0(w_h, h)
+        a_s = _dyn_index0(att_src, h)
+        a_d = _dyn_index0(att_dst, h)
         alpha, xwh, _ = _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f,
                                         mm_dtype)
         return out + jax.lax.dot_general(
@@ -385,9 +407,9 @@ def _gat_bwd_rolled(x, mask, w_h, att_src, att_dst, d_h, heads, mm_dtype):
 
     def body(h, carry):
         d_x, d_w, d_as, d_ad = carry
-        wh = jax.lax.dynamic_index_in_dim(w_h, h, 0, keepdims=False)
-        a_s = jax.lax.dynamic_index_in_dim(att_src, h, 0, keepdims=False)
-        a_d = jax.lax.dynamic_index_in_dim(att_dst, h, 0, keepdims=False)
+        wh = _dyn_index0(w_h, h)
+        a_s = _dyn_index0(att_src, h)
+        a_d = _dyn_index0(att_dst, h)
         alpha, xwh, e = _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f,
                                         mm_dtype)
         d_alpha = jax.lax.dot_general(
@@ -407,14 +429,11 @@ def _gat_bwd_rolled(x, mask, w_h, att_src, att_dst, d_h, heads, mm_dtype):
                          + d_a_dst[..., None] * a_d)
         d_flat = d_xwh.reshape(t * j, f)
         d_x = d_x + _mm(d_flat, wh.T, mm_dtype).reshape(t, j, f)
-        d_w = jax.lax.dynamic_update_slice(
-            d_w, _mm(x_flat.T, d_flat, mm_dtype)[None], (h, 0, 0))
-        d_as = jax.lax.dynamic_update_slice(
-            d_as, (xwh * d_a_src[..., None]).sum(axis=(0, 1))[None, None],
-            (h, 0, 0))
-        d_ad = jax.lax.dynamic_update_slice(
-            d_ad, (xwh * d_a_dst[..., None]).sum(axis=(0, 1))[None, None],
-            (h, 0, 0))
+        d_w = _dyn_add0(d_w, h, _mm(x_flat.T, d_flat, mm_dtype))
+        d_as = _dyn_add0(
+            d_as, h, (xwh * d_a_src[..., None]).sum(axis=(0, 1))[None])
+        d_ad = _dyn_add0(
+            d_ad, h, (xwh * d_a_dst[..., None]).sum(axis=(0, 1))[None])
         return d_x, d_w, d_as, d_ad
 
     init = (jnp.zeros((t, j, f), jnp.float32),
@@ -656,10 +675,15 @@ def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
 
 
 def _make_trainable(adj_np, heads, num_layers, precise, rolled=False):
+    # adjacency/mask stay NUMPY in the closure: the cached custom_vjp fn is
+    # reused across traces (g_step AND d_step jit the generator), and a
+    # jnp.asarray here would bake the FIRST trace's tracer into the closure
+    # (UnexpectedTracerError on the second trace).  numpy constants are
+    # lifted into each trace independently.
     mask_np = (np.maximum(adj_np, np.eye(adj_np.shape[0]))
                > 0).astype(np.float32)
-    adj_c = jnp.asarray(adj_np)
-    mask_c = jnp.asarray(mask_np)
+    adj_c = np.asarray(adj_np, np.float32)
+    mask_c = np.asarray(mask_np, np.float32)
 
     @jax.custom_vjp
     def f(x, params):

@@ -173,6 +173,38 @@ def test_fused_rolled_grads_match_xla():
                                    atol=5e-4 * s, err_msg=f'param {i}')
 
 
+def test_fused_trainable_reused_across_two_jits():
+    """The cached custom_vjp closure must survive a SECOND jit trace.
+
+    g_step and d_step both jit the generator; the first trace populates
+    _TRAINABLE_CACHE for the (adj, heads, layers) key, and the second trace
+    reuses it.  Regression: the closure once captured jnp constants created
+    inside the first trace (tracers) -> UnexpectedTracerError on the
+    second trace (seen on the real TPU; interpret-mode single-trace tests
+    missed it)."""
+    pallas_gcn._TRAINABLE_CACHE.clear()
+    stack, v, x, params, w = _grad_setup(BODY_ADJ, seed=7)
+
+    @jax.jit
+    def first(x, params):
+        def loss(x, params):
+            y = pallas_gcn.fused_gcn_stack_trainable(x, params, BODY_ADJ,
+                                                     heads=2, precise=True)
+            return (y * w).sum()
+        return jax.grad(loss)(x, params)
+
+    @jax.jit
+    def second(x, params):  # distinct jit -> distinct trace, shared cache
+        y = pallas_gcn.fused_gcn_stack_trainable(x, params, BODY_ADJ,
+                                                 heads=2, precise=True)
+        return y.sum()
+
+    g1 = first(x, params)
+    out = second(x, params)      # raised UnexpectedTracerError before fix
+    assert np.isfinite(np.asarray(out))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(g1))
+
+
 def test_fused_trainable_grads_match_xla_body():
     stack, v, x, params, w = _grad_setup(BODY_ADJ, seed=2)
 
