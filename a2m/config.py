@@ -180,6 +180,14 @@ class TrainConfig:
     # B=128 — the graph is non-MXU-bound at these channel widths), so f32
     # is the default.
     compute_dtype: str = 'f32'
+    # route gradient-FREE generator forwards (the no-grad fake generation
+    # inside d_step, and eval_step) through the fused Pallas GCN eval
+    # kernel while g_step keeps the XLA path.  Measured on v5e at B=128
+    # f32: d_step 54.7 -> 39.0 ms (1.4x); the fully-fused g_step is SLOWER
+    # (144.7 ms — the fused backward loses to XLA's), so this hybrid is
+    # the profitable split.  Opt-in: first-time Mosaic compiles cost
+    # ~1-3 min/kernel (rolled) on the remote-compile backend.
+    fused_gcn_eval: bool = False
     # global-norm gradient clipping; 0 disables (reference parity: none)
     grad_clip_norm: float = 0.0
     donate_buffers: bool = True

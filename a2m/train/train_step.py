@@ -178,6 +178,19 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
 
     g_tx = make_optimizer(cfg.controller.g_lr, cfg.grad_clip_norm)
     d_tx = make_optimizer(cfg.controller.d_lr, cfg.grad_clip_norm)
+    # hybrid fused-GCN split (train.fused_gcn_eval): gradient-free G
+    # forwards (fake generation in d_step, eval_step) run the fused Pallas
+    # eval kernel (1.4x faster d_step measured on v5e); g_step keeps the
+    # XLA path whose backward beats the fused backward kernel.  The fused
+    # twin shares g_state verbatim — identical param tree
+    # (tests/test_pallas_gcn.py::test_generator_fused_flag_matches_unfused).
+    g_nograd_model = g_model
+    if cfg.fused_gcn_eval and not g_model.config.fused_gcn:
+        import dataclasses
+        g_nograd_model = type(g_model)(
+            dataclasses.replace(g_model.config, fused_gcn=True,
+                                fused_rolled=True),
+            dtype=g_model.dtype, precision=g_model.precision)
     if cfg.lambda_aux > 0:
         assert d_model.config.use_aux_classifier, (
             'train.lambda_aux > 0 requires discriminator.use_aux_classifier')
@@ -256,7 +269,7 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
 
         # no-grad G forward in train mode (version5_model_train.py:391-393)
         with masking.batch_mask(mask):
-            fake_pose, new_g_bs = _apply_g(g_model, g_state.params,
+            fake_pose, new_g_bs = _apply_g(g_nograd_model, g_state.params,
                                            g_state.batch_stats, audio,
                                            k_gdrop, True, speaker_ids=style)
         fake_motion = jax.lax.stop_gradient(L.pos_to_motion(fake_pose))
@@ -298,8 +311,9 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         masked means over the padded final batch."""
         real_pose = normalize_pose_device(pose, mean, std)
         real_motion = L.pos_to_motion(real_pose)
-        fake_pose, _ = _apply_g(g_model, g_state.params, g_state.batch_stats,
-                                audio, None, False, speaker_ids=style)
+        fake_pose, _ = _apply_g(g_nograd_model, g_state.params,
+                                g_state.batch_stats, audio, None, False,
+                                speaker_ids=style)
         fake_motion = L.pos_to_motion(fake_pose)
         fake_d, _, _ = _apply_d(d_model, d_state.params, d_state.batch_stats,
                                 fake_motion, None, False,

@@ -11,6 +11,9 @@ optional @<batch> suffix (e.g. f32@512) — default batch 128.  A ``fused``
 token (e.g. f32_fused) enables generator.fused_gcn: the trainable fused
 Pallas GCN stacks (forward + custom-VJP backward kernels); compile wall
 time is reported separately (Mosaic compiles are slow on this backend).
+``fgeval`` (e.g. f32_fgeval) enables train.fused_gcn_eval instead: the
+hybrid split — fused eval kernel only in d_step's no-grad fake generation
+and eval, XLA backward in g_step.  ``rolled`` adds rolled-head kernels.
 """
 
 from __future__ import annotations
@@ -44,7 +47,10 @@ def run_variant(name: str) -> dict:
     dt = jnp.bfloat16 if dtype_s == 'bf16' else jnp.float32
     drop = 0.0 if 'nodrop' in name else None
     g_kwargs = {'dropout': drop} if drop is not None else {}
-    if 'fused' in name:
+    train_kwargs = {}
+    if 'fgeval' in name:            # hybrid: fused eval kernel only in the
+        train_kwargs['fused_gcn_eval'] = True   # gradient-free G forwards
+    elif 'fused' in name:
         g_kwargs['fused_gcn'] = True
     if 'rolled' in name:            # e.g. f32_fused_rolled — rolled-head
         g_kwargs['fused_rolled'] = True   # kernels (faster Mosaic compile)
@@ -55,7 +61,8 @@ def run_variant(name: str) -> dict:
     d_model = Discriminator(d_cfg, dtype=dt)
     gs, ds = init_states(g_model, d_model, jax.random.PRNGKey(0),
                          batch_size=batch)
-    g_step, d_step, _ = make_train_steps(g_model, d_model, TrainConfig(),
+    g_step, d_step, _ = make_train_steps(g_model, d_model,
+                                         TrainConfig(**train_kwargs),
                                          donate=False)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, 64, 128)), jnp.float32)
