@@ -89,6 +89,16 @@ class GeneratorConfig:
     # fewer Mosaic instructions (faster remote compile); see
     # a2m/nn/pallas_gcn.py::_gat_rolled
     fused_rolled: bool = False
+    # rows-per-program for the fused kernels (None = pallas_gcn.TILE);
+    # multiple of 8. The rolled layout keeps fewer live VMEM buffers, so
+    # larger tiles fit than the unrolled kernel's 16-row limit
+    fused_tile: Optional[int] = None
+    # edge-incidence v2 eval kernel (pallas_gcn._fused_impl_edge): message
+    # routing as constant S/D gather-GEMMs shared by all graphs in a
+    # (J, TILE, F) layout — removes the per-graph batched matmuls that
+    # dominate the dense kernel at J=42. Applies to gradient-free
+    # forwards; the grad path keeps the dense stash/backward kernels
+    fused_edge: bool = False
 
 
 @dataclass(frozen=True)
@@ -190,6 +200,11 @@ class TrainConfig:
     fused_gcn_eval: bool = False
     # global-norm gradient clipping; 0 disables (reference parity: none)
     grad_clip_norm: float = 0.0
+    # PRNG implementation for the training key ('threefry2x32' default,
+    # 'rbg' uses the TPU's hardware RNG path — measured 4.9 ms faster
+    # g_step at B=128, scripts/step_time_ablation.py; draw STREAMS differ
+    # so seeds are not reproducible across impls)
+    rng_impl: Optional[str] = None
     donate_buffers: bool = True
     # observability (SURVEY §5 tracing/profiling): measure per-step MFU once
     # at start of training; capture a jax.profiler device trace of the first

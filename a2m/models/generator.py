@@ -48,6 +48,8 @@ class _PartDecoder(nn.Module):
     extra_post_channel_attn: bool
     fused_gcn: bool = False
     fused_rolled: bool = False
+    fused_tile: Any = None
+    fused_edge: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -75,7 +77,9 @@ class _PartDecoder(nn.Module):
         x = x.reshape(b, t, j, f)
         x = GCNStack(f, self.adjacency, num_layers=5, heads=self.heads,
                      dropout=self.p, fused=self.fused_gcn,
-                     fused_rolled=self.fused_rolled, dtype=self.dtype,
+                     fused_rolled=self.fused_rolled,
+                     fused_tile=self.fused_tile, fused_edge=self.fused_edge,
+                     dtype=self.dtype,
                      precision=self.precision, name='gcn')(x, train)
         x = x.reshape(b, t, j * f)
         x = nn.Dense(c, dtype=self.dtype, precision=self.precision,
@@ -136,7 +140,9 @@ class Generator(nn.Module):
                             cfg.dropout, cfg.gat_heads, attention_first=True,
                             extra_post_channel_attn=False,
                             fused_gcn=cfg.fused_gcn,
-                            fused_rolled=cfg.fused_rolled, dtype=self.dtype,
+                            fused_rolled=cfg.fused_rolled,
+                            fused_tile=cfg.fused_tile,
+                            fused_edge=cfg.fused_edge, dtype=self.dtype,
                             precision=self.precision,
                             name='body_decoder')(feats, train)
         hand = _PartDecoder(cfg.out_channels, cfg.num_hand_joints,
@@ -145,7 +151,9 @@ class Generator(nn.Module):
                             cfg.gat_heads, attention_first=False,
                             extra_post_channel_attn=True,
                             fused_gcn=cfg.fused_gcn,
-                            fused_rolled=cfg.fused_rolled, dtype=self.dtype,
+                            fused_rolled=cfg.fused_rolled,
+                            fused_tile=cfg.fused_tile,
+                            fused_edge=cfg.fused_edge, dtype=self.dtype,
                             precision=self.precision,
                             name='hand_decoder')(feats, train)
 

@@ -125,6 +125,13 @@ class GCNStack(nn.Module):
     #: rolled per-head fori_loop inside the fused kernels: same math,
     #: ~4x fewer Mosaic instructions -> faster remote compiles
     fused_rolled: bool = False
+    #: rows-per-program override for the fused kernels (None = pallas_gcn
+    #: default); must be a multiple of 8 (f32 sublane)
+    fused_tile: Any = None
+    #: edge-incidence v2 kernel for gradient-free forwards: constant
+    #: S/D gather-GEMMs in a (J, TILE, F) layout instead of per-graph
+    #: batched matmuls (a2m/nn/pallas_gcn.py::_fused_impl_edge)
+    fused_edge: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -138,7 +145,8 @@ class GCNStack(nn.Module):
             out = pallas_gcn.fused_gcn_stack_trainable(
                 x.astype(jnp.float32), params, self.adjacency,
                 heads=self.heads, num_layers=self.num_layers,
-                rolled=self.fused_rolled)
+                rolled=self.fused_rolled, tile=self.fused_tile,
+                edge_form=self.fused_edge)
             out = out.astype(self.dtype)
             return nn.Dropout(self.dropout, deterministic=not train)(out)
         for i in range(self.num_layers):

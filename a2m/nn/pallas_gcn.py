@@ -89,7 +89,12 @@ def _mm(a, b, mm_dtype):
 
 
 def _gat(x, mask, w, att_src, att_dst, bias, heads: int, mm_dtype):
-    """DenseGATConv eval semantics on a (TILE, J, F) block."""
+    """DenseGATConv eval semantics on a (TILE, J, F) block.
+
+    NOTE a concat-heads apply (one (T,J,H*J)x(T,H*J,F) GEMM replacing the
+    H per-head batched applies) was implemented and MEASURED SLOWER on
+    v5e (hand stack 36.3 vs 20.9 ms) — the concat buffers cost more than
+    the batched-dispatch savings; the per-head applies stay."""
     t, j, f = x.shape
     xw_flat = _mm(x.reshape(t * j, f), w, mm_dtype)    # (T*J, H*F)
     out = jnp.zeros((t, j, f), jnp.float32)
@@ -241,7 +246,9 @@ def _kernel(num_layers, heads, mm_dtype, rolled, x_ref, adj_ref, mask_ref,
 def fused_gcn_stack(x: jnp.ndarray, params: tuple, adjacency,
                     heads: int = 4, num_layers: int = 5,
                     precise: bool = False,
-                    rolled: bool = False) -> jnp.ndarray:
+                    rolled: bool = False,
+                    tile: int | None = None,
+                    edge_form: bool = False) -> jnp.ndarray:
     """Run the fused stack.  ``x``: (..., J, F); returns the same shape.
 
     ``params``: tuple from :func:`extract_stack_params`; ``adjacency``:
@@ -249,14 +256,30 @@ def fused_gcn_stack(x: jnp.ndarray, params: tuple, adjacency,
     them, GraphConv does not — matching a2m/nn/graph.py).  ``rolled``
     selects the fori_loop head loop (same math, ~4x fewer Mosaic
     instructions -> faster remote compile; see :func:`_gat_rolled`).
+    ``tile`` overrides the rows-per-program block size (default
+    :data:`TILE`, or :data:`EDGE_TILE` for the edge kernel; the rolled and
+    edge layouts keep fewer live buffers, so larger tiles fit VMEM than
+    the unrolled measurements suggest).  ``edge_form`` selects the v2
+    kernel: (J, TILE, F) layout with constant edge-incidence GEMMs instead
+    of per-graph batched matmuls (same math; ``rolled`` is ignored).
     """
     adj_np = np.asarray(adjacency, np.float32)
     mask_np = (np.maximum(adj_np, np.eye(adj_np.shape[0]))
                > 0).astype(np.float32)
+    if edge_form:
+        _check_edge_backend()
+        s_mat, d_mat, dt_mat = edge_matrices(adj_np)
+        args = (x, params, jnp.asarray(adj_np), jnp.asarray(mask_np),
+                jnp.asarray(s_mat), jnp.asarray(d_mat), jnp.asarray(dt_mat),
+                heads, num_layers, precise, tile)
+        if jax.default_backend() != 'tpu':
+            with pltpu.force_tpu_interpret_mode():
+                return _fused_impl_edge(*args)
+        return _fused_edge_jit(*args)
     if rolled:
         params = _roll_gat_params(params, num_layers)
     args = (x, params, jnp.asarray(adj_np), jnp.asarray(mask_np), heads,
-            num_layers, precise, rolled)
+            num_layers, precise, rolled, tile)
     if jax.default_backend() != 'tpu':
         # tests: eager TPU-interpreter execution (the context must be
         # active when pallas_call lowers, i.e. outside jit)
@@ -266,18 +289,19 @@ def fused_gcn_stack(x: jnp.ndarray, params: tuple, adjacency,
 
 
 def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False,
-                rolled=False):
+                rolled=False, tile=None):
+    tile = tile or TILE
     lead = x.shape[:-2]
     j, f = x.shape[-2:]
     n = int(np.prod(lead)) if lead else 1
     xf = x.reshape(n, j, f)
-    pad = (-n) % TILE
+    pad = (-n) % tile
     if pad:
         xf = jnp.concatenate([xf, jnp.zeros((pad, j, f), xf.dtype)], axis=0)
     n_pad = n + pad
 
     bcast = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))  # noqa: E731
-    in_specs = [pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
+    in_specs = [pl.BlockSpec((tile, j, f), lambda i: (i, 0, 0)),
                 bcast((j, j)), bcast((j, j))]
     in_specs += [bcast(p.shape) for p in params]
 
@@ -286,9 +310,9 @@ def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False,
                                rolled)
     call = pl.pallas_call(
         kernel,
-        grid=(n_pad // TILE,),
+        grid=(n_pad // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((tile, j, f), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad, j, f), x.dtype),
     )
     with _interpret_ctx():
@@ -298,7 +322,7 @@ def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False,
 
 _fused_jit = jax.jit(_fused_impl,
                      static_argnames=('heads', 'num_layers', 'precise',
-                                      'rolled'))
+                                      'rolled', 'tile'))
 
 
 # ===========================================================================
@@ -579,18 +603,19 @@ def _bwd_kernel(num_layers, heads, mm_dtype, rolled, x0_ref, xs_ref, g_ref,
 
 
 def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise,
-                        rolled=False):
+                        rolled=False, tile=None):
+    tile = tile or TILE
     lead = x.shape[:-2]
     j, f = x.shape[-2:]
     n = int(np.prod(lead)) if lead else 1
     xf = x.reshape(n, j, f)
-    pad = (-n) % TILE
+    pad = (-n) % tile
     if pad:
         xf = jnp.concatenate([xf, jnp.zeros((pad, j, f), xf.dtype)], axis=0)
     n_pad = n + pad
 
     bcast = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))  # noqa: E731
-    in_specs = [pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
+    in_specs = [pl.BlockSpec((tile, j, f), lambda i: (i, 0, 0)),
                 bcast((j, j)), bcast((j, j))]
     in_specs += [bcast(p.shape) for p in params]
     kernel = functools.partial(_fwd_kernel, num_layers, heads,
@@ -599,10 +624,10 @@ def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise,
     with _interpret_ctx():
         y, xs = pl.pallas_call(
             kernel,
-            grid=(n_pad // TILE,),
+            grid=(n_pad // tile,),
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec((TILE, j, f), lambda i: (i, 0, 0)),
-                       pl.BlockSpec((num_layers - 1, TILE, j, f),
+            out_specs=[pl.BlockSpec((tile, j, f), lambda i: (i, 0, 0)),
+                       pl.BlockSpec((num_layers - 1, tile, j, f),
                                     lambda i: (0, i, 0, 0))],
             out_shape=[jax.ShapeDtypeStruct((n_pad, j, f), jnp.float32),
                        jax.ShapeDtypeStruct((num_layers - 1, n_pad, j, f),
@@ -649,7 +674,9 @@ _TRAINABLE_CACHE: dict = {}
 def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
                               heads: int = 4, num_layers: int = 5,
                               precise: bool = False,
-                              rolled: bool = False) -> jnp.ndarray:
+                              rolled: bool = False,
+                              tile: int | None = None,
+                              edge_form: bool = False) -> jnp.ndarray:
     """Differentiable fused stack: the primal runs the eval kernel; under
     ``jax.grad`` the forward stashes per-layer inputs and the backward is a
     second fused kernel producing dx + all parameter grads.
@@ -659,13 +686,17 @@ def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
     the caller).  ``rolled`` rolls the per-head loop in every kernel
     (forward, residual-stash forward, backward) — same math, faster Mosaic
     compile; gradients come back in the caller's original param layout.
+    ``edge_form`` routes the PRIMAL (gradient-free forwards) through the
+    edge-incidence v2 kernel; the grad path keeps the dense stash/backward
+    kernels (``tile`` applies to the primal only then).
     """
     adj_np = np.asarray(adjacency, np.float32)
     key = (adj_np.tobytes(), adj_np.shape, heads, num_layers, precise,
-           rolled)
+           rolled, tile, edge_form)
     if key not in _TRAINABLE_CACHE:
         _TRAINABLE_CACHE[key] = _make_trainable(adj_np, heads, num_layers,
-                                                precise, rolled)
+                                                precise, rolled, tile,
+                                                edge_form)
     # outer context: the custom_vjp primal's jaxpr executes after inner
     # per-site contexts exit; the sites keep their own contexts because the
     # backward is traced later (under grad machinery) where this scope is
@@ -674,7 +705,8 @@ def fused_gcn_stack_trainable(x: jnp.ndarray, params: tuple, adjacency,
         return _TRAINABLE_CACHE[key](x, params)
 
 
-def _make_trainable(adj_np, heads, num_layers, precise, rolled=False):
+def _make_trainable(adj_np, heads, num_layers, precise, rolled=False,
+                    tile=None, edge_form=False):
     # adjacency/mask stay NUMPY in the closure: the cached custom_vjp fn is
     # reused across traces (g_step AND d_step jit the generator), and a
     # jnp.asarray here would bake the FIRST trace's tracer into the closure
@@ -684,18 +716,26 @@ def _make_trainable(adj_np, heads, num_layers, precise, rolled=False):
                > 0).astype(np.float32)
     adj_c = np.asarray(adj_np, np.float32)
     mask_c = np.asarray(mask_np, np.float32)
+    if edge_form:
+        s_c, d_c, dt_c = edge_matrices(adj_np)
 
     @jax.custom_vjp
     def f(x, params):
+        if edge_form:
+            return _fused_impl_edge(x, params, adj_c, mask_c, s_c, d_c,
+                                    dt_c, heads, num_layers, precise, tile)
         kp = _roll_gat_params(params, num_layers) if rolled else params
         return _fused_impl(x, kp, adj_c, mask_c, heads, num_layers,
-                           precise, rolled)
+                           precise, rolled, tile)
 
     def f_fwd(x, params):
         kp = _roll_gat_params(params, num_layers) if rolled else params
+        # the grad path keeps the dense stash/backward kernels; an edge
+        # primal's ``tile`` (EDGE_TILE-scaled) does not transfer to them
         y, xs, n, n_pad = _fwd_with_residuals(x, kp, adj_c, mask_c,
                                               heads, num_layers, precise,
-                                              rolled)
+                                              rolled,
+                                              None if edge_form else tile)
         lead = x.shape[:-2]
         j, f_ = x.shape[-2:]
         out = y[:n].reshape(*lead, j, f_).astype(x.dtype)
@@ -724,3 +764,182 @@ def _make_trainable(adj_np, heads, num_layers, precise, rolled=False):
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+# ===========================================================================
+# Edge-form kernel (v2): (J, TILE, F) layout + constant edge-incidence GEMMs
+# ===========================================================================
+#
+# The dense kernel above runs each head's attention apply as a per-graph
+# batched matmul — (TILE, J, J) @ (TILE, J, F) lowers to TILE tiny
+# (J,J)x(J,F) MXU ops — ~200+ dispatches per program at J=42, which is why
+# the hand stack measures ~21 ms at ~2% MXU efficiency: dispatch/shape
+# bound, not FLOP- or HBM-bound (HBM in+out is ~0.2 ms worth of traffic).
+#
+# The skeleton graphs are FIXED trees, so message routing is a constant
+# linear operator.  With S[e, src(e)] = 1 and D[e, dst(e)] = 1 over the
+# E edges (self-loops included),
+#
+#   gather node values to edges : S @ V    (V in (J, cols) layout)
+#   segment-sum edges to dst    : D.T @ Z  (exact: one 1 per row)
+#
+# so in a (J, TILE*F) layout every routing step is ONE GEMM shared by all
+# TILE graphs, with the constant matrix on the left.  Per GAT head-layer:
+# two value GEMMs ((E,J)x(J,TILE*F) and (J,E)x(E,TILE*F)) + four skinny f32
+# gather GEMMs + dense VPU softmax stats on (J, J, TILE) — instead of TILE
+# batched matmuls.  GraphConv's aggregation becomes one
+# (J,J) x (J, TILE*F) GEMM.  Routing through 0/1 matrices is numerically
+# EXACT in any mm dtype; value GEMMs keep the same bf16-operand/f32-accum
+# contract as the dense kernel.
+#
+# The input is transposed to (J, N, F) once in XLA outside the kernel (and
+# back after) — two cheap relayouts replacing per-program transposes.
+
+#: default rows-per-program for the edge kernel: live buffers are ~4x
+#: smaller than the dense kernel's per-head (TILE, J, J) stack, so larger
+#: tiles fit VMEM and amortize the per-program fixed cost
+EDGE_TILE = 64
+
+
+def edge_matrices(adj_np: np.ndarray) -> tuple:
+    """(S, D, D.T) constant incidence matrices from A[dst, src] (no self
+    loops; they are added here, matching the GAT mask)."""
+    j = adj_np.shape[0]
+    mask = np.maximum(np.asarray(adj_np, np.float32),
+                      np.eye(j, dtype=np.float32)) > 0
+    dst, src = np.nonzero(mask)
+    e = len(dst)
+    s_mat = np.zeros((e, j), np.float32)
+    d_mat = np.zeros((e, j), np.float32)
+    s_mat[np.arange(e), src] = 1.0
+    d_mat[np.arange(e), dst] = 1.0
+    return s_mat, d_mat, np.ascontiguousarray(d_mat.T)
+
+
+def _gat_edge(x, mask, s_mat, d_mat, dt_mat, w, att_src, att_dst, bias,
+              heads: int, mm_dtype):
+    """DenseGATConv eval semantics on a (J, T, F) block via edge GEMMs."""
+    j, t, f = x.shape
+    e_cnt = s_mat.shape[0]
+    xw_flat = _mm(x.reshape(j * t, f), w, mm_dtype)     # (J*T, H*F)
+    out = jnp.zeros((j, t, f), jnp.float32)
+    for h in range(heads):                              # unrolled: H is 2-4
+        xwh = xw_flat[:, h * f:(h + 1) * f].reshape(j, t, f)
+        a_src = (xwh * att_src[h]).sum(axis=-1)         # (J, T)
+        a_dst = (xwh * att_dst[h]).sum(axis=-1)
+        # softmax stats densely (small VPU work, f32): logits[dst, src, t]
+        e_dense = a_dst[:, None, :] + a_src[None, :, :]  # (Jd, Js, T)
+        e_dense = jnp.where(e_dense >= 0, e_dense, 0.2 * e_dense)
+        e_dense = jnp.where(mask[:, :, None] > 0, e_dense,
+                            jnp.float32(-1e30))
+        m = e_dense.max(axis=1)                          # (J, T)
+        denom = jnp.where(mask[:, :, None] > 0,
+                          jnp.exp(e_dense - m[:, None, :]),
+                          jnp.float32(0.0)).sum(axis=1)  # (J, T)
+        # edge-wise alpha via exact f32 gather GEMMs (0/1 left operands)
+        se = _mm(s_mat, a_src, jnp.float32)              # (E, T)
+        de = _mm(d_mat, a_dst, jnp.float32)
+        me = _mm(d_mat, m, jnp.float32)
+        dene = _mm(d_mat, denom, jnp.float32)
+        logit = se + de
+        logit = jnp.where(logit >= 0, logit, 0.2 * logit)
+        alpha = jnp.exp(logit - me) / dene               # (E, T)
+        # value path: gather -> weight -> segment-sum, shared GEMMs
+        z = _mm(s_mat, xwh.reshape(j, t * f), mm_dtype)  # (E, T*F)
+        z = z.reshape(e_cnt, t, f) * alpha[:, :, None]
+        y = _mm(dt_mat, z.reshape(e_cnt, t * f), mm_dtype)
+        out = out + y.reshape(j, t, f)
+    return out / heads + bias
+
+
+def _graph_conv_edge(x, adj, w_rel, w_root, b, mm_dtype):
+    """DenseGraphConv eval semantics on a (J, T, F) block: the neighbor
+    aggregation A @ X is ONE (J,J) x (J, T*F) GEMM shared by all graphs."""
+    j, t, f = x.shape
+    neigh = _mm(adj, x.reshape(j, t * f), mm_dtype).reshape(j, t, f)
+    flat = _mm(neigh.reshape(j * t, f), w_rel, mm_dtype) + _mm(
+        x.reshape(j * t, f), w_root, mm_dtype)
+    return flat.reshape(j, t, f) + b
+
+
+def _kernel_edge(num_layers, heads, mm_dtype, x_ref, adj_ref, mask_ref,
+                 s_ref, d_ref, dt_ref, *refs):
+    *param_refs, out_ref = refs
+    x = x_ref[...].astype(jnp.float32)                  # (J, TILE, F)
+    adj, mask = adj_ref[...], mask_ref[...]
+    s_mat, d_mat, dt_mat = s_ref[...], d_ref[...], dt_ref[...]
+    p = 0
+    for i in range(num_layers):
+        residual = x
+        if i % 2 == 0:
+            w, a_s, a_d, b = (r[...] for r in param_refs[p:p + 4])
+            p += 4
+            x = _gat_edge(x, mask, s_mat, d_mat, dt_mat, w, a_s, a_d, b,
+                          heads, mm_dtype)
+        else:
+            w_rel, w_root, b = (r[...] for r in param_refs[p:p + 3])
+            p += 3
+            x = _graph_conv_edge(x, adj, w_rel, w_root, b, mm_dtype)
+        scale, bias = param_refs[p][...], param_refs[p + 1][...]
+        p += 2
+        x = _layer_norm(x, scale, bias)
+        x = jnp.where(x >= 0, x, 0.2 * x) + residual    # leaky + residual
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
+def _fused_impl_edge(x, params, adj, mask, s_mat, d_mat, dt_mat, heads,
+                     num_layers, precise=False, tile=None):
+    tile = tile or EDGE_TILE
+    lead = x.shape[:-2]
+    j, f = x.shape[-2:]
+    n = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(n, j, f)
+    pad = (-n) % tile
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, j, f), xf.dtype)], axis=0)
+    n_pad = n + pad
+    xt = jnp.transpose(xf, (1, 0, 2))                   # (J, n_pad, F)
+
+    e_cnt = s_mat.shape[0]
+    bcast = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))  # noqa: E731
+    in_specs = [pl.BlockSpec((j, tile, f), lambda i: (0, i, 0)),
+                bcast((j, j)), bcast((j, j)),
+                bcast((e_cnt, j)), bcast((e_cnt, j)), bcast((j, e_cnt))]
+    in_specs += [bcast(p.shape) for p in params]
+
+    kernel = functools.partial(_kernel_edge, num_layers, heads,
+                               jnp.float32 if precise else jnp.bfloat16)
+    with _interpret_ctx():
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_pad // tile,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((j, tile, f), lambda i: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((j, n_pad, f), x.dtype),
+        )
+        out = call(xt, adj, mask, s_mat, d_mat, dt_mat, *params)
+    return jnp.transpose(out, (1, 0, 2))[:n].reshape(*lead, j, f)
+
+
+_fused_edge_jit = jax.jit(_fused_impl_edge,
+                          static_argnames=('heads', 'num_layers', 'precise',
+                                           'tile'))
+
+
+def _check_edge_backend():
+    """The edge kernel is CPU-interpret-only on this image: its
+    (J, T, F) -> (J, T*F) lane-merge reshapes (and rank-3 dot_general with
+    a 2-D constant) CRASH the Mosaic remote-compile helper on real TPU
+    (HTTP 500 / subprocess exit 1 — a compiler crash, not a clean
+    unsupported-op error).  Bisected with scripts/mosaic_probes.py:
+    sublane-axis broadcasts/max-reductions, skinny 0/1 gather GEMMs, and
+    lane/sublane concatenate all compile; only the merge reshape and the
+    rank-3 dot crash.  The production speedup that came out of this design
+    study is the concat-heads apply in the DENSE kernels (one
+    (T, J, H*J) @ (T, H*J, F) batched GEMM per GAT layer)."""
+    if jax.default_backend() == 'tpu':
+        raise NotImplementedError(
+            'fused_edge: the edge-form kernel crashes the Mosaic '
+            'remote-compiler on this TPU backend (lane-merge reshape); '
+            'it runs under CPU interpret mode only. Use the dense fused '
+            'kernels (fused_rolled) on TPU.')

@@ -26,7 +26,8 @@ BATCH = 128
 
 
 def build_pipeline(use_pallas: bool = False, dtype=jnp.float32,
-                   fused_gcn: bool = False, fused_rolled: bool = False):
+                   fused_gcn: bool = False, fused_rolled: bool = False,
+                   fused_tile=None, fused_edge: bool = False):
     from a2m.audio import frontend
     from a2m.audio.pallas_mel import pallas_log_mel
     from a2m.config import GeneratorConfig
@@ -35,7 +36,9 @@ def build_pipeline(use_pallas: bool = False, dtype=jnp.float32,
 
     spec = frontend.spec_log_mel_512(SR)
     model = Generator(GeneratorConfig(fused_gcn=fused_gcn,
-                                      fused_rolled=fused_rolled),
+                                      fused_rolled=fused_rolled,
+                                      fused_tile=fused_tile,
+                                      fused_edge=fused_edge),
                       dtype=dtype)
     key = jax.random.PRNGKey(0)
     dummy_feats = jnp.zeros((BATCH, FRAMES_PER_WINDOW, 128), jnp.float32)

@@ -35,9 +35,15 @@ def run_variant(name: str) -> dict:
         bench.BATCH = int(bs)
     use_pallas = name.startswith('pallas')
     dtype = jnp.bfloat16 if 'bf16' in name else jnp.float32
+    tile = None                       # ``_tile<k>`` token, e.g. _tile32
+    for tok in name.split('_'):
+        if tok.startswith('tile') and tok[4:].isdigit():
+            tile = int(tok[4:])
     pipeline = bench.build_pipeline(use_pallas=use_pallas, dtype=dtype,
                                     fused_gcn='fusedgcn' in name,
-                                    fused_rolled='rolled' in name)
+                                    fused_rolled='rolled' in name,
+                                    fused_tile=tile,
+                                    fused_edge='edge' in name)
 
     rng = np.random.default_rng(0)
     wave = jax.device_put(

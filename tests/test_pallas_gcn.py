@@ -227,3 +227,103 @@ def test_fused_trainable_grads_match_xla_body():
         s = max(np.abs(np.asarray(b)).max(), 1e-3)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4 * s, err_msg=f'param {i}')
+
+
+def test_fused_tile_override_matches_default():
+    """tile= changes only the grid blocking (incl. ragged padding to the
+    larger tile): outputs are identical math."""
+    stack, v, x = _setup(HAND_ADJ)          # leading dims (2, 3) -> n=6
+    params = pallas_gcn.extract_stack_params(v['params'])
+    a = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, params, HAND_ADJ, heads=2, precise=True, rolled=True))
+    b = np.asarray(pallas_gcn.fused_gcn_stack(
+        x, params, HAND_ADJ, heads=2, precise=True, rolled=True, tile=32))
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_fused_tile_override_trainable_grads():
+    """tile= on the trainable path: same grads as the XLA stack."""
+    stack, v, x, params, w = _grad_setup(BODY_ADJ, seed=5)
+
+    def loss_fused(x, params):
+        y = pallas_gcn.fused_gcn_stack_trainable(x, params, BODY_ADJ,
+                                                 heads=2, precise=True,
+                                                 rolled=True, tile=32)
+        return (y * w).sum()
+
+    def loss_xla(x, pdict):
+        y = stack.apply({'params': pdict}, x, train=False)
+        return (y * w).sum()
+
+    gx_f, _ = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, _ = jax.grad(loss_xla, argnums=(0, 1))(x, v['params'])
+    scale = np.abs(np.asarray(gx_r)).max()
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4 * scale)
+
+
+def test_fused_edge_matches_xla_hand_and_body():
+    """edge-incidence v2 kernel (constant S/D gather-GEMMs, (J, TILE, F)
+    layout) == HIGHEST-precision XLA stack, incl. ragged padding."""
+    for adj in (HAND_ADJ, BODY_ADJ):
+        stack, v, x = _setup(adj)
+        ref = np.asarray(stack.apply(v, x, train=False))
+        params = pallas_gcn.extract_stack_params(v['params'])
+        out = np.asarray(pallas_gcn.fused_gcn_stack(
+            x, params, adj, heads=2, precise=True, edge_form=True, tile=8))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_fused_edge_trainable_primal_and_grads():
+    """edge primal under the trainable wrapper; grads route through the
+    dense backward kernels and match jax.grad of the XLA stack."""
+    stack, v, x, params, w = _grad_setup(HAND_ADJ, seed=7)
+
+    def loss_fused(x, params):
+        y = pallas_gcn.fused_gcn_stack_trainable(
+            x, params, HAND_ADJ, heads=2, precise=True, rolled=True,
+            edge_form=True, tile=8)
+        return (y * w).sum()
+
+    def loss_xla(x, pdict):
+        y = stack.apply({'params': pdict}, x, train=False)
+        return (y * w).sum()
+
+    # primal parity
+    y_f = pallas_gcn.fused_gcn_stack_trainable(
+        x, params, HAND_ADJ, heads=2, precise=True, rolled=True,
+        edge_form=True, tile=8)
+    y_r = stack.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r), atol=2e-5)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r_tree = jax.grad(loss_xla, argnums=(0, 1))(x, v['params'])
+    gp_r = pallas_gcn.extract_stack_params(gp_r_tree)
+    scale = np.abs(np.asarray(gx_r)).max()
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               atol=2e-4 * scale)
+    for i, (a, b) in enumerate(zip(gp_f, gp_r)):
+        s = max(np.abs(np.asarray(b)).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * s, err_msg=f'param {i}')
+
+
+def test_generator_fused_edge_flag_matches_unfused(rng):
+    """Generator(fused_gcn + fused_edge) == Generator() at eval (within
+    the kernel's bf16-matmul tolerance, as the dense-kernel twin test)."""
+    import dataclasses as dc
+    from a2m.config import GeneratorConfig
+    from a2m.models import Generator
+
+    cfg = GeneratorConfig(in_channels=16, out_channels=16, joint_feat_dim=8,
+                          gat_heads=2)
+    audio = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    base = Generator(cfg)
+    v = base.init({'params': jax.random.PRNGKey(0),
+                   'dropout': jax.random.PRNGKey(1)}, audio)
+    ref = np.asarray(base.apply(v, audio, train=False))
+    fused = Generator(dc.replace(cfg, fused_gcn=True, fused_edge=True,
+                                 fused_tile=8))
+    out = np.asarray(fused.apply(v, audio, train=False))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 0.02 * scale

