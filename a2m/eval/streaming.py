@@ -95,10 +95,12 @@ def stream_from_waveform(generator, variables, waveform: np.ndarray,
     from a2m.audio import frontend
     if method != 'log_mel_512':
         raise ValueError('streaming currently supports log_mel_512')
-    feats = np.asarray(frontend.log_mel_512(
-        np.asarray(waveform, np.float32), sr, exact=False))
     fs = constants.AUDIO_FS_MAP['log_mel_512']
     stride = round(fs / constants.POSE_FPS)
-    feats = feats[::stride]                              # pose-rate features
+    # stride folded into the hop: compute only pose-rate frames (equal to
+    # [::stride] of the full 89 Hz grid, 6x less frontend work)
+    spec = frontend.strided_spec(frontend.spec_log_mel_512(sr), stride)
+    feats = np.asarray(frontend.log_mel(
+        jnp.asarray(np.asarray(waveform, np.float32)), spec, exact=False))
     return stream_poses(generator, variables, feats, hop=hop,
                         batch_size=batch_size)

@@ -75,10 +75,14 @@ def export_audio_to_pose(generator, variables, mean, std, sr: int = 45600,
     spec_mel = frontend.spec_log_mel_512(sr)
     fs = AUDIO_FS_MAP['log_mel_512']
     window, stride = int(seconds * fs), round(fs / 15)
+    # stride folded into the hop (frontend.strided_spec): compute only the
+    # pose-rate frames — identical to slicing [:window:stride]
+    spec_strided = frontend.strided_spec(spec_mel, stride)
+    n_out = len(range(0, window, stride))
 
     def serve(waveform):
-        feats = frontend.log_mel(waveform, spec_mel, exact=False)
-        feats = feats[:, :window:stride, :]
+        feats = frontend.log_mel(waveform, spec_strided, exact=False,
+                                 n_frames=n_out)
         pose = generator.apply(variables, feats, train=False)
         return _denorm(pose, mean, std)
 

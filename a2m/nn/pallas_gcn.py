@@ -88,6 +88,23 @@ def _mm(a, b, mm_dtype):
         preferred_element_type=jnp.float32)
 
 
+def _attn_stats(xwh, mask, a_s, a_d):
+    """(alpha, e) for one head from projected features (T, J, F).
+
+    NOTE two "optimizations" were implemented and MEASURED SLOWER here on
+    v5e (scripts/gcn_cost_probe.py attribution notwithstanding): a
+    coarse-shift masked softmax (per-(T,) bound instead of the per-row
+    masked max) and pair-wise head projection GEMMs — together hand stack
+    26.2 vs 20.9 ms.  The straightforward -inf mask + jax.nn.softmax
+    lowering is what Mosaic schedules best; keep it."""
+    a_src = (xwh * a_s).sum(axis=-1)                    # (T, J)
+    a_dst = (xwh * a_d).sum(axis=-1)
+    e = a_dst[:, :, None] + a_src[:, None, :]           # (T, Jd, Js)
+    el = jnp.where(e >= 0, e, 0.2 * e)
+    em = jnp.where(mask[None, :, :] > 0, el, jnp.float32(-jnp.inf))
+    return jax.nn.softmax(em, axis=-1), e
+
+
 def _gat(x, mask, w, att_src, att_dst, bias, heads: int, mm_dtype):
     """DenseGATConv eval semantics on a (TILE, J, F) block.
 
@@ -98,15 +115,9 @@ def _gat(x, mask, w, att_src, att_dst, bias, heads: int, mm_dtype):
     t, j, f = x.shape
     xw_flat = _mm(x.reshape(t * j, f), w, mm_dtype)    # (T*J, H*F)
     out = jnp.zeros((t, j, f), jnp.float32)
-    neg_inf = jnp.float32(-jnp.inf)
     for h in range(heads):                              # unrolled: H is 2-4
         xwh = xw_flat[:, h * f:(h + 1) * f].reshape(t, j, f)
-        a_src = (xwh * att_src[h]).sum(axis=-1)         # (T, J)
-        a_dst = (xwh * att_dst[h]).sum(axis=-1)
-        e = a_dst[:, :, None] + a_src[:, None, :]       # (T, Jd, Js)
-        e = jnp.where(e >= 0, e, 0.2 * e)               # leaky_relu
-        e = jnp.where(mask[None, :, :] > 0, e, neg_inf)
-        alpha = jax.nn.softmax(e, axis=-1)
+        alpha, _ = _attn_stats(xwh, mask, att_src[h], att_dst[h])
         out = out + jax.lax.dot_general(                # batched (J,J)@(J,F)
             alpha.astype(mm_dtype), xwh.astype(mm_dtype),
             (((2,), (1,)), ((0,), (0,))),
@@ -118,12 +129,8 @@ def _head_attention(x_flat, mask, wh, a_s, a_d, t, j, f, mm_dtype):
     """One head's (alpha, xwh, e) from per-head weight (F_in, F) and
     attention vectors (1, F) — shared by rolled forward and backward."""
     xwh = _mm(x_flat, wh, mm_dtype).reshape(t, j, f)
-    a_src = (xwh * a_s).sum(axis=-1)                    # (T, J)
-    a_dst = (xwh * a_d).sum(axis=-1)
-    e = a_dst[:, :, None] + a_src[:, None, :]           # (T, Jd, Js)
-    el = jnp.where(e >= 0, e, 0.2 * e)
-    em = jnp.where(mask[None, :, :] > 0, el, jnp.float32(-jnp.inf))
-    return jax.nn.softmax(em, axis=-1), xwh, e
+    alpha, e = _attn_stats(xwh, mask, a_s, a_d)
+    return alpha, xwh, e
 
 
 def _dyn_index0(a, h):
@@ -288,11 +295,18 @@ def fused_gcn_stack(x: jnp.ndarray, params: tuple, adjacency,
     return _fused_jit(*args)
 
 
+def _default_tile(j: int) -> int:
+    """Rows-per-program default by graph size (v5e sweep, rolled kernels):
+    J=42 -> 16 (20.9 ms; 32 parity, 64 OOM), J=10 -> 64 (6.33 vs 7.67 ms
+    at 16) — small graphs leave VMEM headroom for bigger tiles."""
+    return 64 if j <= 16 else TILE
+
+
 def _fused_impl(x, params, adj, mask, heads, num_layers, precise=False,
                 rolled=False, tile=None):
-    tile = tile or TILE
     lead = x.shape[:-2]
     j, f = x.shape[-2:]
+    tile = tile or _default_tile(j)
     n = int(np.prod(lead)) if lead else 1
     xf = x.reshape(n, j, f)
     pad = (-n) % tile
@@ -604,9 +618,9 @@ def _bwd_kernel(num_layers, heads, mm_dtype, rolled, x0_ref, xs_ref, g_ref,
 
 def _fwd_with_residuals(x, params, adj, mask, heads, num_layers, precise,
                         rolled=False, tile=None):
-    tile = tile or TILE
     lead = x.shape[:-2]
     j, f = x.shape[-2:]
+    tile = tile or _default_tile(j)
     n = int(np.prod(lead)) if lead else 1
     xf = x.reshape(n, j, f)
     pad = (-n) % tile

@@ -21,7 +21,9 @@ TARGET_RT = 100.0  # BASELINE.json north star: >=100x realtime per chip
 SR = 45600         # nominal PATS sample rate (audio.py:177)
 CLIP_SECONDS = 4.3
 # batch sweep (scripts/pipeline_ab.py, v5e): 64 -> 9,087x, 128 -> 10,678x,
-# 256 -> 10,113x, 512 -> 9,870x realtime; 128 is the throughput sweet spot
+# 256 -> 10,113x, 512 -> 9,870x realtime (round-2, full-grid frontend);
+# 128 re-confirmed as the sweet spot after the round-3 strided+radix
+# frontend (see README measured results)
 BATCH = 128
 
 
@@ -45,8 +47,10 @@ def build_pipeline(use_pallas: bool = False, dtype=jnp.float32,
     variables = jax.jit(model.init)({'params': key, 'dropout': key}, dummy_feats)
 
     fs = AUDIO_FS_MAP['log_mel_512']
-    window = int(CLIP_SECONDS * fs)       # 382 feature rows
-    stride = round(fs / 15)               # 6 -> 64 frames
+    stride = round(fs / 15)               # 6 -> 64 of the 382 window rows
+    # stride folded into the hop: compute ONLY the 64 pose-rate frames
+    # (identical values to slicing [:window:stride] from the full grid)
+    spec6 = frontend.strided_spec(spec, stride)
 
     @jax.jit
     def audio_to_pose(waveform, carry=None):
@@ -56,9 +60,10 @@ def build_pipeline(use_pallas: bool = False, dtype=jnp.float32,
         iteration distinct inputs AND a true device-side dependency."""
         if use_pallas:
             feats = pallas_log_mel(waveform, spec, exact=False)
+            feats = feats[:, :int(CLIP_SECONDS * fs):stride, :]
         else:
-            feats = frontend.log_mel(waveform, spec, exact=False)
-        feats = feats[:, :window:stride, :]          # (B, 64, 128)
+            feats = frontend.log_mel(waveform, spec6, exact=False,
+                                     n_frames=FRAMES_PER_WINDOW)
         pose = model.apply(variables, feats, train=False)
         if carry is None:
             return pose
@@ -123,12 +128,11 @@ def build_pipeline_single():
     dummy = jnp.zeros((1, 64, 128), jnp.float32)
     variables = jax.jit(model.init)({'params': key, 'dropout': key}, dummy)
     fs = AUDIO_FS_MAP['log_mel_512']
-    window, stride = int(CLIP_SECONDS * fs), round(fs / 15)
+    spec6 = frontend.strided_spec(spec, round(fs / 15))
 
     @jax.jit
     def one(waveform):
-        feats = frontend.log_mel(waveform, spec, exact=False)
-        feats = feats[:, :window:stride, :]
+        feats = frontend.log_mel(waveform, spec6, exact=False, n_frames=64)
         return model.apply(variables, feats, train=False)
 
     return one

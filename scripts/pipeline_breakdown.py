@@ -51,10 +51,12 @@ def main(batch: int, tile) -> None:
     wave = jax.device_put((rng.standard_normal(
         (batch, int(sr * clip))) * 0.1).astype(np.float32))
 
+    spec6 = frontend.strided_spec(spec, stride)
+
     @jax.jit
     def front(w, carry):
-        feats = frontend.log_mel(w + carry * 0, spec, exact=False)
-        feats = feats[:, :window:stride, :]
+        feats = frontend.log_mel(w + carry * 0, spec6, exact=False,
+                                 n_frames=FRAMES_PER_WINDOW)
         return feats, carry + feats.mean()
 
     feats0 = jnp.zeros((batch, FRAMES_PER_WINDOW, 128), jnp.float32)

@@ -345,3 +345,20 @@ def test_silence_mask_shape(clip16):
     assert set(np.unique(m)).issubset({0, 1})
     # interleaved zeros at odd positions
     assert (m[1::2] == 0).all()
+
+
+def test_radix_fast_path_parity(clip, clip16):
+    """exact=False now runs the two-stage radix DFT (frontend.radix_matrices)
+    — 8x fewer MACs than the direct windowed-DFT; parity with the float64
+    golden stays within ~2x the exact path's tolerance."""
+    g = mel_np.log_mel_512(clip, SR)
+    j = np.asarray(frontend.log_mel_512(clip.astype(np.float32), SR,
+                                        exact=False))
+    assert j.shape == g.shape
+    assert np.abs(g - j).max() < 5e-5
+
+    gv = mel_np.vggish_log_mel(clip16)
+    jv = np.asarray(frontend.vggish_log_mel(clip16.astype(np.float32),
+                                            exact=False))
+    n = min(len(gv), len(jv))
+    assert np.abs(gv[:n] - jv[:n]).max() < 5e-5
