@@ -20,10 +20,11 @@ import numpy as np
 TARGET_RT = 100.0  # BASELINE.json north star: >=100x realtime per chip
 SR = 45600         # nominal PATS sample rate (audio.py:177)
 CLIP_SECONDS = 4.3
-# batch sweep (scripts/pipeline_ab.py, v5e): 64 -> 9,087x, 128 -> 10,678x,
-# 256 -> 10,113x, 512 -> 9,870x realtime (round-2, full-grid frontend);
-# 128 re-confirmed as the sweet spot after the round-3 strided+radix
-# frontend (see README measured results)
+# batch sweep (scripts/pipeline_ab.py, v5e, fused-rolled + strided radix
+# frontend): 64 -> 16,479x, 128 -> 17,982-18,248x, 256 -> 18,025x realtime;
+# 128 and 256 are tied, keep 128 (lower latency, same throughput).
+# Round-2 full-grid-frontend sweep for history: 64/128/256/512 ->
+# 9,087/10,678/10,113/9,870x.
 BATCH = 128
 
 
