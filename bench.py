@@ -79,9 +79,10 @@ def main() -> None:
             * 0.1).astype(np.float32)
     wave = jax.device_put(wave)
 
-    # fused rolled-head Pallas GCN kernels: 44.6 ms vs 52.2 ms XLA at B=128
-    # (12,334x vs 10,551x realtime, scripts/pipeline_ab.py); the rolled
-    # Mosaic compile adds ~1-2 min to the first run only
+    # fused rolled-head Pallas GCN kernels: model 28.1 ms vs 36.5 ms XLA at
+    # B=128 (17,982x vs 14,304x realtime e2e with the strided radix
+    # frontend, scripts/pipeline_ab.py); the rolled Mosaic compile adds
+    # ~1-2 min to the first run only
     pipeline = build_pipeline(fused_gcn=True, fused_rolled=True)
     carry = jnp.float32(0.0)
     out, carry = pipeline(wave, carry)

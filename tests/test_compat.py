@@ -1,0 +1,512 @@
+"""Tests for a2m.compat — importing reference torch checkpoints.
+
+The reference model cannot be instantiated here (torch_geometric is not in
+the image), so the checkpoint fixture is built by hand to the reference's
+``state_dict`` key schema (`real_motion_model.py:16-129,464-578`,
+`model_layers.py:51-374`), and correctness is established three ways:
+
+* per-family numerical parity: the importer's conversions are applied to a
+  real ``torch`` layer's weights and the a2m module must reproduce the torch
+  output (conv / transposed conv / BN / attention orientations);
+* graph layers against the same numpy torch_geometric twins used by
+  `test_nn_layers.py`;
+* a whole-model bias-marker test that proves the head-permutation mapping:
+  with all weights zero and reference head biases set to their semantic
+  channel index, the imported a2m generator must emit channel ``s == s`` for
+  every block-layout channel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from a2m.compat import import_discriminator, import_generator
+from a2m.compat.torch_import import load_torch_state_dict
+from a2m.config import DiscriminatorConfig, GeneratorConfig
+
+KEY = jax.random.PRNGKey(0)
+TINY_G = GeneratorConfig(in_channels=16, out_channels=16, joint_feat_dim=8,
+                         gat_heads=2, dropout=0.0)
+TINY_D = DiscriminatorConfig(out_channels=8, joint_feat_dim=8, gat_heads=2,
+                             dropout=0.0)
+
+
+# ------------------------------------------------------- fixture state_dict
+
+def _rng_sd(rng, shapes: dict) -> dict:
+    sd = {k: rng.standard_normal(v).astype(np.float32) if v else
+          np.float32(rng.standard_normal()) for k, v in shapes.items()}
+    for k in sd:               # BN variances must be positive for eval mode
+        if k.endswith('running_var'):
+            sd[k] = np.abs(sd[k]) + 0.5
+    return sd
+
+
+def _cnr_shapes(prefix, ci, co, k):
+    """ConvNormRelu keys (model_layers.py:94-105): conv + BatchNorm."""
+    kshape = (co, ci) + ((k, k) if isinstance(k, int) and k else k)
+    return {f'{prefix}.conv.weight': kshape, f'{prefix}.conv.bias': (co,),
+            **_bn_shapes(f'{prefix}.norm', co)}
+
+
+def _cnr1d_shapes(prefix, ci, co, k):
+    return {f'{prefix}.conv.weight': (co, ci, k),
+            f'{prefix}.conv.bias': (co,), **_bn_shapes(f'{prefix}.norm', co)}
+
+
+def _bn_shapes(prefix, c):
+    return {f'{prefix}.weight': (c,), f'{prefix}.bias': (c,),
+            f'{prefix}.running_mean': (c,), f'{prefix}.running_var': (c,),
+            f'{prefix}.num_batches_tracked': ()}
+
+
+def _attn_shapes(prefix, c):
+    """SelfAttention (model_layers.py:127-131)."""
+    return {f'{prefix}.query_conv.weight': (c // 8, c, 1),
+            f'{prefix}.query_conv.bias': (c // 8,),
+            f'{prefix}.key_conv.weight': (c // 8, c, 1),
+            f'{prefix}.key_conv.bias': (c // 8,),
+            f'{prefix}.value_conv.weight': (c, c, 1),
+            f'{prefix}.value_conv.bias': (c,),
+            f'{prefix}.gamma': (1,)}
+
+
+def _chattn_shapes(prefix, c, r=8):
+    return {f'{prefix}.fc.0.weight': (c // r, c), f'{prefix}.fc.0.bias': (c // r,),
+            f'{prefix}.fc.2.weight': (c, c // r), f'{prefix}.fc.2.bias': (c,)}
+
+
+def _res_shapes(prefix, c):
+    return {**_cnr1d_shapes(f'{prefix}.conv1', c, c, 3),
+            **_cnr1d_shapes(f'{prefix}.conv2', c, c, 3),
+            **_attn_shapes(f'{prefix}.attention', c)}
+
+
+def _gat_shapes(prefix, f, h):
+    """PyG >= 2.0 GATConv key schema."""
+    return {f'{prefix}.lin.weight': (h * f, f),
+            f'{prefix}.att_src': (1, h, f), f'{prefix}.att_dst': (1, h, f),
+            f'{prefix}.bias': (f,)}
+
+
+def _graphconv_shapes(prefix, f):
+    return {f'{prefix}.lin_rel.weight': (f, f), f'{prefix}.lin_rel.bias': (f,),
+            f'{prefix}.lin_root.weight': (f, f)}
+
+
+def _lin_shapes(prefix, ci, co):
+    return {f'{prefix}.weight': (co, ci), f'{prefix}.bias': (co,)}
+
+
+def _ln_shapes(prefix, c):
+    return {f'{prefix}.weight': (c,), f'{prefix}.bias': (c,)}
+
+
+def generator_state_dict_shapes(cfg, fixed_up_attention=False) -> dict:
+    """The reference SelfAttention_G state_dict schema at ``cfg`` sizes."""
+    c = cfg.out_channels
+    b = cfg.in_channels // 4     # AudioEncoder base width
+    jf, h = cfg.joint_feat_dim, cfg.gat_heads
+    s: dict = {}
+    # AudioEncoder conv.0-4 (model_layers.py:251-263)
+    for i, (ci, co, k) in enumerate([(1, b, 4), (b, 2 * b, 4),
+                                     (2 * b, 4 * b, 4), (4 * b, 8 * b, 3)]):
+        s.update(_cnr_shapes(f'audio_encoder.conv.{i}', ci, co, k))
+    s.update(_cnr_shapes('audio_encoder.conv.4', 8 * b, 4 * b, (3, 8)))
+    # UNet1D (model_layers.py:337-373)
+    u = cfg.in_channels
+    for i, (ci, co, k) in enumerate([(u, 2 * u, 3), (2 * u, 2 * u, 4),
+                                     (2 * u, 4 * u, 3), (4 * u, 4 * u, 4)]):
+        s.update(_cnr1d_shapes(f'unet.downsample_layers.{i}', ci, co, k))
+    s.update(_cnr1d_shapes('unet.bottleneck', 4 * u, 8 * u, 3))
+    s.update(_attn_shapes('unet.bottleneck_attention', 8 * u))
+    s.update({'unet.upsample_layers.0.conv_transpose.weight': (8 * u, 4 * u, 3),
+              'unet.upsample_layers.0.conv_transpose.bias': (4 * u,),
+              **_bn_shapes('unet.upsample_layers.0.bn', 4 * u)})
+    s.update(_cnr1d_shapes('unet.upsample_layers.1', 8 * u, 4 * u, 3))
+    s.update({'unet.upsample_layers.2.conv_transpose.weight': (4 * u, 2 * u, 3),
+              'unet.upsample_layers.2.conv_transpose.bias': (2 * u,),
+              **_bn_shapes('unet.upsample_layers.2.bn', 2 * u)})
+    s.update(_cnr1d_shapes('unet.upsample_layers.3', 4 * u, 2 * u, 3))
+    s.update({'unet.final_conv.weight': (c, 2 * u, 1),
+              'unet.final_conv.bias': (c,)})
+    # up_attention: the reference sizes it C*4 (mis-sized, crashes as
+    # committed, model_layers.py:372); a user-fixed checkpoint has C*8
+    s.update(_attn_shapes('unet.up_attention',
+                          8 * u if fixed_up_attention else 4 * u))
+    # part decoders (real_motion_model.py:70-120)
+    for part, j in (('body', 10), ('hand', 42)):
+        s.update(_res_shapes(f'{part}_decoder_pre.0', c))
+        s.update(_cnr1d_shapes(f'{part}_decoder_pre.1', c, c, 3))
+        if part == 'body':
+            s.update(_chattn_shapes(f'{part}_decoder_pre.2', c))
+            s.update(_attn_shapes(f'{part}_decoder_pre.3', c))
+        else:
+            s.update(_attn_shapes(f'{part}_decoder_pre.2', c))
+            s.update(_chattn_shapes(f'{part}_decoder_pre.3', c))
+        s.update(_lin_shapes(f'{part}_proj_in', c, j * jf))
+        for i in (1, 3, 5):
+            s.update(_gat_shapes(f'{part}_gcn{i}', jf, h))
+        for i in (2, 4):
+            s.update(_graphconv_shapes(f'{part}_gcn{i}', jf))
+        for i in range(5):
+            s.update(_ln_shapes(f'{part}_layer_norms.{i}', jf))
+        s.update(_lin_shapes(f'{part}_proj_out', j * jf, c))
+        s.update(_ln_shapes(f'{part}_norm', c))
+        s.update(_res_shapes(f'{part}_decoder_post.0', c))
+        s.update(_cnr1d_shapes(f'{part}_decoder_post.1', c, c, 3))
+        s.update(_attn_shapes(f'{part}_decoder_post.2', c))
+        if part == 'hand':
+            s.update(_chattn_shapes(f'{part}_decoder_post.3', c))
+    s.update({'body_logits.weight': (20, c, 1), 'body_logits.bias': (20,),
+              'hand_logits.weight': (84, c, 1), 'hand_logits.bias': (84,)})
+    return s
+
+
+def discriminator_state_dict_shapes(cfg) -> dict:
+    """The reference SelfAttention_D schema (real_motion_model.py:504-578)."""
+    oc, jf, h = cfg.out_channels, cfg.joint_feat_dim, cfg.gat_heads
+    s: dict = {}
+    s.update({'conv1.0.weight': (oc, 104, 4), 'conv1.0.bias': (oc,),
+              **_bn_shapes('conv1.1', oc),
+              'conv1.4.weight': (oc, oc, 4), 'conv1.4.bias': (oc,),
+              **_bn_shapes('conv1.5', oc)})
+    cur = oc
+    for n in range(1, cfg.n_downsampling + 1):
+        mul = min(2 ** n, 16)
+        s.update({f'conv2.{n - 1}.0.weight': (cur * mul, cur, 4),
+                  f'conv2.{n - 1}.0.bias': (cur * mul,),
+                  **_bn_shapes(f'conv2.{n - 1}.1', cur * mul),
+                  f'conv2.{n - 1}.4.weight': (cur * mul, cur * mul, 4),
+                  f'conv2.{n - 1}.4.bias': (cur * mul,),
+                  **_bn_shapes(f'conv2.{n - 1}.5', cur * mul)})
+        cur *= mul
+    s.update({'conv3.0.weight': (cur * 2, cur, 4), 'conv3.0.bias': (cur * 2,),
+              **_bn_shapes('conv3.1', cur * 2),
+              'conv3.4.weight': (cur * 4, cur * 2, 4),
+              'conv3.4.bias': (cur * 4,), **_bn_shapes('conv3.5', cur * 4),
+              **_attn_shapes('conv3.8', cur * 4),
+              'conv3.9.weight': (cur * 4, cur * 4, 3),
+              'conv3.9.bias': (cur * 4,), **_bn_shapes('conv3.10', cur * 4)})
+    s.update(_lin_shapes('body_proj', cur * 2, 10 * jf))
+    s.update(_lin_shapes('hand_proj', cur * 2, 42 * jf))
+    s.update(_gat_shapes('body_gat', jf, h))
+    s.update(_gat_shapes('hand_gat', jf, h))
+    s.update(_lin_shapes('body_graph_out', 10 * jf, cur * 2))
+    s.update(_lin_shapes('hand_graph_out', 42 * jf, cur * 2))
+    s.update({'audio_fusion.weight': (cur * 4, 256, 1),
+              'audio_fusion.bias': (cur * 4,),
+              'logits.weight': (1, cur * 8, 3), 'logits.bias': (1,)})
+    s.update(_lin_shapes('aux_classifier.0', cur * 4, 512))
+    s.update(_lin_shapes('aux_classifier.3', 512, 10))
+    return s
+
+
+@pytest.fixture(scope='module')
+def tiny_g_vars():
+    from a2m.models import Generator
+    model = Generator(TINY_G)
+    variables = jax.jit(model.init)({'params': KEY, 'dropout': KEY},
+                                    jnp.zeros((1, 64, 128)))
+    return model, variables
+
+
+@pytest.fixture(scope='module')
+def tiny_d_vars():
+    from a2m.models import Discriminator
+    model = Discriminator(TINY_D)
+    variables = jax.jit(model.init)({'params': KEY, 'dropout': KEY},
+                                    jnp.zeros((1, 63, 104)))
+    return model, variables
+
+
+# --------------------------------------------------------------- unit level
+
+def test_cnr_import_matches_torch(rng):
+    """Conv1d+BN(eval) orientation through the importer fragments."""
+    from a2m.compat.torch_import import _StateDict, _cnr
+    from a2m.nn.layers import ConvNormRelu
+
+    ci, co, t = 6, 10, 12
+    tm = torch.nn.Sequential(
+        torch.nn.Conv1d(ci, co, 3, stride=1, padding=1),
+        torch.nn.BatchNorm1d(co), torch.nn.LeakyReLU(0.2))
+    with torch.no_grad():
+        tm[1].running_mean.copy_(torch.randn(co) * 0.1)
+        tm[1].running_var.copy_(torch.rand(co) + 0.5)
+        tm[1].weight.copy_(torch.randn(co))
+        tm[1].bias.copy_(torch.randn(co))
+    tm.eval()
+    sd = {f'm.conv.{k}': v.numpy() for k, v in tm[0].state_dict().items()}
+    sd.update({f'm.norm.{k}': v.numpy() for k, v in tm[1].state_dict().items()})
+
+    out, outb = {}, {}
+    _cnr(_StateDict(sd), 'm', (), out, outb)
+    params = {'conv': {'kernel': out[('conv', 'kernel')],
+                       'bias': out[('conv', 'bias')]},
+              'norm': {'scale': out[('norm', 'scale')],
+                       'bias': out[('norm', 'bias')]}}
+    bstats = {'norm': {'mean': outb[('norm', 'mean')],
+                       'var': outb[('norm', 'var')]}}
+    x = rng.standard_normal((2, t, ci)).astype(np.float32)
+    m = ConvNormRelu(ci, co, type='1d', leaky=True,
+                     precision=jax.lax.Precision.HIGHEST)
+    y = m.apply({'params': params, 'batch_stats': bstats}, jnp.asarray(x),
+                train=False)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    np.testing.assert_allclose(np.asarray(y), ty.transpose(0, 2, 1),
+                               atol=2e-5)
+
+
+def test_conv_transpose_import_matches_torch(rng):
+    from a2m.compat.torch_import import _ct1d_w
+    from a2m.nn.layers import ConvTranspose1D
+
+    ci, co, t = 6, 4, 10
+    tm = torch.nn.ConvTranspose1d(ci, co, 3, stride=2, padding=1,
+                                  output_padding=1)
+    x = rng.standard_normal((2, t, ci)).astype(np.float32)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    params = {'kernel': _ct1d_w(tm.weight.detach().numpy()),
+              'bias': tm.bias.detach().numpy(),
+              'bn': {'scale': np.ones(co, np.float32),
+                     'bias': np.zeros(co, np.float32)}}
+    bstats = {'bn': {'mean': np.zeros(co, np.float32),
+                     'var': np.ones(co, np.float32) - 1e-5}}
+    m = ConvTranspose1D(ci, co, precision=jax.lax.Precision.HIGHEST)
+    y = m.apply({'params': params, 'batch_stats': bstats}, jnp.asarray(x),
+                train=False)
+    np.testing.assert_allclose(np.asarray(y), np.maximum(ty, 0).transpose(
+        0, 2, 1), atol=2e-5)
+
+
+def test_self_attention_import_matches_torch(rng):
+    """query/key/value 1x1-conv -> Dense orientation + gamma."""
+    from a2m.compat.torch_import import _StateDict, _attn
+    from a2m.nn.layers import SelfAttention
+
+    c, t = 16, 9
+    q = torch.nn.Conv1d(c, c // 8, 1)
+    k = torch.nn.Conv1d(c, c // 8, 1)
+    v = torch.nn.Conv1d(c, c, 1)
+    gamma = 0.7
+    sd = {}
+    for name, mod in (('query_conv', q), ('key_conv', k), ('value_conv', v)):
+        sd.update({f'a.{name}.{kk}': vv.numpy()
+                   for kk, vv in mod.state_dict().items()})
+    sd['a.gamma'] = np.array([gamma], np.float32)
+    out = {}
+    _attn(_StateDict(sd), 'a', (), out)
+    params = {'query': {'kernel': out[('query', 'kernel')],
+                        'bias': out[('query', 'bias')]},
+              'key': {'kernel': out[('key', 'kernel')],
+                      'bias': out[('key', 'bias')]},
+              'value': {'kernel': out[('value', 'kernel')],
+                        'bias': out[('value', 'bias')]},
+              'gamma': out[('gamma',)]}
+    x = rng.standard_normal((2, t, c)).astype(np.float32)
+    y = SelfAttention(c).apply({'params': params}, jnp.asarray(x))
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 2, 1))
+        qq = q(xt).permute(0, 2, 1)
+        kk = k(xt)
+        vv = v(xt)
+        att = torch.softmax(torch.bmm(qq, kk), dim=-1)
+        o = torch.bmm(att, vv.permute(0, 2, 1))
+        ty = (gamma * o + torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(y), ty, atol=2e-5)
+
+
+def test_gat_import_matches_numpy_twin(rng):
+    """GATConv (PyG 2.x key schema) through the importer vs the same numpy
+    golden used by test_nn_layers."""
+    from test_nn_layers import numpy_gat
+    from a2m import constants
+    from a2m.compat.torch_import import _StateDict, _gat
+    from a2m.nn.graph import DenseGATConv
+
+    f, h = 8, 2
+    edges = constants.body_edges()
+    adj = constants.adjacency_from_edges(edges, 10)
+    sd = {'g.lin.weight': rng.standard_normal((h * f, f)).astype(np.float32),
+          'g.att_src': rng.standard_normal((1, h, f)).astype(np.float32),
+          'g.att_dst': rng.standard_normal((1, h, f)).astype(np.float32),
+          'g.bias': rng.standard_normal(f).astype(np.float32)}
+    out = {}
+    _gat(_StateDict(sd), 'g', (), out)
+    params = {'lin': {'kernel': out[('lin', 'kernel')]},
+              'att_src': out[('att_src',)], 'att_dst': out[('att_dst',)],
+              'bias': out[('bias',)]}
+    x = rng.standard_normal((10, f)).astype(np.float32)
+    y = DenseGATConv(f, adj, heads=h, concat=False,
+                     precision=jax.lax.Precision.HIGHEST).apply(
+        {'params': params}, jnp.asarray(x))
+    expected = numpy_gat(x, edges, np.asarray(params['lin']['kernel']),
+                         np.asarray(params['att_src']),
+                         np.asarray(params['att_dst']),
+                         np.asarray(params['bias']), heads=h)
+    np.testing.assert_allclose(np.asarray(y), expected, atol=1e-5)
+
+
+def test_gat_import_accepts_pyg1_schema(rng):
+    """PyG 1.x fused-att checkpoints: att = (1, H, 2F), (dst || src)."""
+    from a2m.compat.torch_import import _StateDict, _gat
+    f, h = 4, 2
+    w = rng.standard_normal((f, h * f)).astype(np.float32)
+    att = rng.standard_normal((1, h, 2 * f)).astype(np.float32)
+    sd = {'g.weight': w, 'g.att': att,
+          'g.bias': np.zeros(f, np.float32)}
+    out = {}
+    _gat(_StateDict(sd), 'g', (), out)
+    np.testing.assert_array_equal(out[('lin', 'kernel')], w)
+    np.testing.assert_array_equal(out[('att_dst',)], att[0, :, :f])
+    np.testing.assert_array_equal(out[('att_src',)], att[0, :, f:])
+
+
+def test_graphconv_bias_moves_to_lin_root(rng):
+    from a2m.compat.torch_import import _StateDict, _graphconv
+    f = 5
+    sd = {'g.lin_rel.weight': rng.standard_normal((f, f)).astype(np.float32),
+          'g.lin_rel.bias': rng.standard_normal(f).astype(np.float32),
+          'g.lin_root.weight': rng.standard_normal((f, f)).astype(np.float32)}
+    out = {}
+    _graphconv(_StateDict(sd), 'g', (), out)
+    np.testing.assert_array_equal(out[('lin_root', 'bias')],
+                                  sd['g.lin_rel.bias'])
+    np.testing.assert_array_equal(out[('lin_rel', 'kernel')],
+                                  sd['g.lin_rel.weight'].T)
+
+
+# -------------------------------------------------------------- model level
+
+def test_generator_import_full_coverage(tiny_g_vars, rng):
+    """Every checkpoint key consumed; every a2m param covered (except the
+    structurally-skipped up_attention); output changes vs init."""
+    model, variables = tiny_g_vars
+    shapes = generator_state_dict_shapes(TINY_G)
+    sd = _rng_sd(rng, shapes)
+    sd['body_edge_index_template'] = np.zeros((2, 18), np.int64)  # buffer
+    new_vars, report = import_generator(sd, variables)
+    assert report.unused == []
+    # only up_attention params may be left at init
+    assert all('up_attention' in m[0] for m in report.missing), report.missing
+    assert any('up_attention' in str(s[0]) for s in report.skipped)
+
+    audio = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    y0 = model.apply(variables, audio, train=False)
+    y1 = model.apply(new_vars, audio, train=False)
+    assert np.isfinite(np.asarray(y1)).all()
+    assert float(jnp.abs(y1 - y0).max()) > 1e-3
+
+
+def test_generator_import_fixed_up_attention(tiny_g_vars, rng):
+    """A user-fixed checkpoint (C*8 up_attention) imports completely."""
+    model, variables = tiny_g_vars
+    sd = _rng_sd(rng, generator_state_dict_shapes(TINY_G,
+                                                  fixed_up_attention=True))
+    new_vars, report = import_generator(sd, variables)
+    assert report.unused == [] and report.missing == []
+    assert not report.skipped
+    got = new_vars['params']['unet']['up_attention']['gamma']
+    np.testing.assert_allclose(np.asarray(got),
+                               sd['unet.up_attention.gamma'])
+
+
+def test_generator_head_permutation_markers(tiny_g_vars):
+    """Zero weights + semantic-index head biases: imported generator must
+    emit channel s == s for every block-layout channel (the permutation
+    contract, real_motion_model.py:265-266 vs a2m block heads)."""
+    model, variables = tiny_g_vars
+    shapes = generator_state_dict_shapes(TINY_G)
+    sd = {k: np.zeros(v, np.float32) if v else np.float32(0)
+          for k, v in shapes.items()}
+    for k in shapes:      # keep BN eval well-defined
+        if k.endswith('running_var'):
+            sd[k] = np.ones(shapes[k], np.float32)
+    sd['body_logits.bias'] = np.arange(0, 20, dtype=np.float32)
+    sd['hand_logits.bias'] = np.arange(20, 104, dtype=np.float32)
+    new_vars, _ = import_generator(sd, variables)
+    y = np.asarray(model.apply(new_vars, jnp.zeros((1, 64, 128)),
+                               train=False))
+    np.testing.assert_allclose(y[0, 0], np.arange(104, dtype=np.float32),
+                               atol=1e-5)
+
+
+def test_generator_import_rejects_unknown_keys(tiny_g_vars, rng):
+    _, variables = tiny_g_vars
+    sd = _rng_sd(rng, generator_state_dict_shapes(TINY_G))
+    sd['totally_bogus.weight'] = np.zeros((3, 3), np.float32)
+    _, report = import_generator(sd, variables)
+    assert report.unused == ['totally_bogus.weight']
+    with pytest.raises(ValueError):
+        report.raise_if_unexpected()
+
+
+def test_generator_import_shape_mismatch_raises(tiny_g_vars, rng):
+    _, variables = tiny_g_vars
+    sd = _rng_sd(rng, generator_state_dict_shapes(TINY_G))
+    sd['body_proj_in.weight'] = np.zeros((7, 7), np.float32)
+    with pytest.raises(ValueError, match='shape'):
+        import_generator(sd, variables)
+
+
+def test_discriminator_import(tiny_d_vars, rng):
+    model, variables = tiny_d_vars
+    sd = _rng_sd(rng, discriminator_state_dict_shapes(TINY_D))
+    new_vars, report = import_discriminator(sd, variables)
+    assert report.unused == []
+    # audio_fusion + aux_classifier recorded as skipped (branches absent)
+    reasons = ' '.join(r for _, r in report.skipped)
+    assert 'audio' in reasons and 'aux' in reasons
+    assert report.missing == []
+    scores, aux = model.apply(new_vars, jnp.asarray(
+        rng.standard_normal((2, 63, 104)), jnp.float32), train=False)
+    assert np.isfinite(np.asarray(scores)).all() and aux is None
+
+
+def test_discriminator_import_with_audio_branch(rng):
+    """D initialized with audio consumes the audio_fusion tensors."""
+    from a2m.models import Discriminator
+    model = Discriminator(TINY_D)
+    variables = jax.jit(model.init)(
+        {'params': KEY, 'dropout': KEY}, jnp.zeros((1, 63, 104)),
+        jnp.zeros((1, 4, 256)))
+    sd = _rng_sd(rng, discriminator_state_dict_shapes(TINY_D))
+    new_vars, report = import_discriminator(sd, variables)
+    assert not any('audio_fusion' in str(s[0]) for s in report.skipped)
+    got = new_vars['params']['audio_fusion']['kernel']
+    np.testing.assert_allclose(np.asarray(got),
+                               sd['audio_fusion.weight'][:, :, 0].T)
+    # checkpoint logits rows land in the leading inputs; fusion rows at init
+    lk = np.asarray(new_vars['params']['logits']['kernel'])
+    ref_lk = sd['logits.weight'].transpose(2, 1, 0)
+    np.testing.assert_allclose(lk[:, :ref_lk.shape[1]], ref_lk)
+    assert any('logits' in str(s[0]) for s in report.skipped)
+    scores, _ = model.apply(new_vars,
+                            jnp.asarray(rng.standard_normal((2, 63, 104)),
+                                        jnp.float32),
+                            jnp.asarray(rng.standard_normal((2, 4, 256)),
+                                        jnp.float32), train=False)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_load_torch_file_roundtrip(tmp_path, tiny_g_vars, rng):
+    """torch.save(state_dict) file -> load_torch_state_dict -> import."""
+    _, variables = tiny_g_vars
+    sd = _rng_sd(rng, generator_state_dict_shapes(TINY_G))
+    path = tmp_path / 'Best_Gen'
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+    loaded = load_torch_state_dict(str(path))
+    new_vars, report = import_generator(loaded, variables)
+    assert report.unused == []
+    np.testing.assert_allclose(
+        np.asarray(new_vars['params']['body_decoder']['proj_in']['kernel']),
+        sd['body_proj_in.weight'].T)
