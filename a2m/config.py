@@ -182,6 +182,12 @@ class TrainConfig:
     save_every_epochs: int = 1
     log_every_batches: int = 200
     resume: bool = True             # resume from latest checkpoint if present
+    # warm-start from a migrated/standalone checkpoint directory (e.g. the
+    # output of `python -m a2m.compat`): loads `best_gen` into G and, when
+    # present, `imported_disc` into D before training; optimizer state
+    # starts fresh (the reference never persisted it).  A later `resume`
+    # restore (same run dir) takes precedence.
+    init_from: str = ''
     controller: ControllerConfig = field(default_factory=ControllerConfig)
     # precision policy: 'f32' or 'bf16' (matmul/conv compute dtype).
     # bf16 is numerically stable (losses.safe_norm fixed the exact-zero
@@ -195,9 +201,11 @@ class TrainConfig:
     # kernel while g_step keeps the XLA path.  Measured on v5e at B=128
     # f32: d_step 54.7 -> 39.0 ms (1.4x); the fully-fused g_step is SLOWER
     # (144.7 ms — the fused backward loses to XLA's), so this hybrid is
-    # the profitable split.  Opt-in: first-time Mosaic compiles cost
-    # ~1-3 min/kernel (rolled) on the remote-compile backend.
-    fused_gcn_eval: bool = False
+    # the profitable split.  None = auto: ON for the single-chip jitted
+    # steps on a real TPU (first-time Mosaic compiles cost ~1-3 min/kernel
+    # on the remote-compile backend), OFF on CPU and in the sharded
+    # wrappers (Pallas partitioning untested under GSPMD).
+    fused_gcn_eval: Optional[bool] = None
     # global-norm gradient clipping; 0 disables (reference parity: none)
     grad_clip_norm: float = 0.0
     # PRNG implementation for the training key ('threefry2x32' default,
@@ -253,8 +261,15 @@ def _set_nested(cfg: Any, dotted: str, value: str) -> Any:
         elem = type(cur[0]) if cur else str
         parsed = tuple(elem(v) for v in value.split(','))
     elif cur is None:
-        parsed = value if not value.replace('.', '', 1).isdigit() else (
-            float(value) if '.' in value else int(value))
+        low = value.lower()
+        if low in ('true', 'false', 'yes', 'no'):
+            parsed = low in ('true', 'yes')
+        elif low in ('none', 'null'):
+            parsed = None
+        elif value.replace('.', '', 1).isdigit():
+            parsed = float(value) if '.' in value else int(value)
+        else:
+            parsed = value
     else:
         parsed = value
     return dataclasses.replace(cfg, **{head: parsed})

@@ -77,6 +77,9 @@ class Trainer:
         self.loss_history: dict[str, list] = dict(
             train_g=[], train_d=[], val_g=[], val_d=[])
 
+        if cfg.train.init_from:
+            self._init_from(cfg.train.init_from)
+
         if cfg.train.resume:
             restored = self.ckpt.restore(self.g_state, self.d_state)
             if restored is not None:
@@ -91,6 +94,39 @@ class Trainer:
                 self.log(f'resumed from epoch {restored["epoch"]}')
 
     # ------------------------------------------------------------------
+
+    def _init_from(self, path) -> None:
+        """Warm-start from a checkpoint directory holding a standalone
+        ``best_gen`` (and optionally ``imported_disc``) — the layout written
+        by ``python -m a2m.compat`` and by ``save_best_generator``.  Params
+        and BN stats load; optimizer state stays fresh (the reference never
+        persisted it, version5_model_train.py:509-515)."""
+        import numpy as _np
+        import orbax.checkpoint as ocp
+        p = Path(path)
+        gen_dir = (p / 'best_gen').absolute()
+        if not gen_dir.exists():
+            raise FileNotFoundError(
+                f'train.init_from: no best_gen checkpoint under {p}')
+        ckpt = ocp.StandardCheckpointer()
+        tmpl = dict(params=jax.tree.map(_np.asarray, self.g_state.params),
+                    batch_stats=jax.tree.map(_np.asarray,
+                                             self.g_state.batch_stats))
+        best = ckpt.restore(gen_dir, tmpl)
+        self.g_state = self.g_state._replace(
+            params=best['params'], batch_stats=best['batch_stats'])
+        d_dir = (p / 'imported_disc').absolute()
+        loaded = 'G'
+        if d_dir.exists():
+            tmpl = dict(params=jax.tree.map(_np.asarray,
+                                            self.d_state.params),
+                        batch_stats=jax.tree.map(_np.asarray,
+                                                 self.d_state.batch_stats))
+            rd = ckpt.restore(d_dir, tmpl)
+            self.d_state = self.d_state._replace(
+                params=rd['params'], batch_stats=rd['batch_stats'])
+            loaded = 'G+D'
+        self.log(f'initialized {loaded} from {p}')
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

@@ -184,8 +184,14 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
     # XLA path whose backward beats the fused backward kernel.  The fused
     # twin shares g_state verbatim — identical param tree
     # (tests/test_pallas_gcn.py::test_generator_fused_flag_matches_unfused).
+    fused_eval = cfg.fused_gcn_eval
+    if fused_eval is None:
+        # auto: the fused eval kernel is profitable on the real chip
+        # (d_step 1.4x); CPU (tests, interpret-mode Pallas) and the
+        # sharded wrappers (jit_steps=False) keep the XLA path
+        fused_eval = jit_steps and jax.default_backend() == 'tpu'
     g_nograd_model = g_model
-    if cfg.fused_gcn_eval and not g_model.config.fused_gcn:
+    if fused_eval and not g_model.config.fused_gcn:
         import dataclasses
         g_nograd_model = type(g_model)(
             dataclasses.replace(g_model.config, fused_gcn=True,

@@ -47,7 +47,9 @@ def run_variant(name: str) -> dict:
     dt = jnp.bfloat16 if dtype_s == 'bf16' else jnp.float32
     drop = 0.0 if 'nodrop' in name else None
     g_kwargs = {'dropout': drop} if drop is not None else {}
-    train_kwargs = {}
+    # fused_gcn_eval now defaults to auto-ON on the TPU; pin it OFF for the
+    # base variants so the ablation contrast stays meaningful
+    train_kwargs = {'fused_gcn_eval': False}
     if 'fgeval' in name:            # hybrid: fused eval kernel only in the
         train_kwargs['fused_gcn_eval'] = True   # gradient-free G forwards
     elif 'fused' in name:

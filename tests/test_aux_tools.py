@@ -45,6 +45,19 @@ def test_apply_overrides_unknown_key():
         apply_overrides(Config(), ['data.nonexistent=1'])
 
 
+def test_apply_overrides_none_typed_fields():
+    """Fields defaulting to None parse bools/none/numbers, not raw strings
+    (a truthy 'false' string would silently enable tri-state knobs)."""
+    cfg = apply_overrides(Config(), ['train.fused_gcn_eval=false'])
+    assert cfg.train.fused_gcn_eval is False
+    cfg = apply_overrides(Config(), ['train.fused_gcn_eval=true'])
+    assert cfg.train.fused_gcn_eval is True
+    cfg = apply_overrides(Config(), ['train.fused_gcn_eval=none'])
+    assert cfg.train.fused_gcn_eval is None
+    cfg = apply_overrides(Config(), ['train.rng_impl=rbg'])
+    assert cfg.train.rng_impl == 'rbg'
+
+
 def test_config_grid():
     grid = config_grid(Config(), {'data.batch_size': ['4', '8'],
                                   'train.n_epochs': ['1', '2', '3']})

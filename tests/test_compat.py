@@ -497,6 +497,98 @@ def test_discriminator_import_with_audio_branch(rng):
     assert np.isfinite(np.asarray(scores)).all()
 
 
+def test_migration_cli_roundtrip(tmp_path, tiny_g_vars, rng):
+    """python -m a2m.compat: reference files -> Orbax best_gen consumable by
+    CheckpointManager.load_best_generator (the viz/eval load path)."""
+    from a2m.compat.__main__ import run
+    from a2m.config import Config
+    from a2m.train.checkpoint import CheckpointManager
+    from a2m.train.train_step import NetState
+
+    _, variables = tiny_g_vars
+    g_sd = _rng_sd(rng, generator_state_dict_shapes(TINY_G))
+    d_sd = _rng_sd(rng, discriminator_state_dict_shapes(TINY_D))
+    gen_path, disc_path = tmp_path / 'Best_Gen', tmp_path / 'Best_Dis'
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in g_sd.items()},
+               gen_path)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in d_sd.items()},
+               disc_path)
+
+    cfg = Config(generator=TINY_G, discriminator=TINY_D)
+    overrides = [f'generator.{f}={getattr(TINY_G, f)}' for f in
+                 ('in_channels', 'out_channels', 'joint_feat_dim',
+                  'gat_heads', 'dropout')] + \
+                [f'discriminator.{f}={getattr(TINY_D, f)}' for f in
+                 ('out_channels', 'joint_feat_dim', 'gat_heads', 'dropout')]
+    out = tmp_path / 'migrated'
+    reports = run(str(gen_path), str(out), str(disc_path), overrides)
+    assert reports['g_report'].unused == []
+    assert reports['d_report'].unused == []
+    assert (out / 'best_gen').exists() and (out / 'imported_disc').exists()
+
+    mgr = CheckpointManager(out)
+    state = NetState(variables['params'], variables.get('batch_stats', {}),
+                     None)
+    best = mgr.load_best_generator(state)
+    np.testing.assert_allclose(
+        np.asarray(best['params']['body_decoder']['proj_in']['kernel']),
+        g_sd['body_proj_in.weight'].T)
+
+
+def test_trainer_init_from_migrated(tmp_path, tiny_g_vars, rng):
+    """train.init_from warm-starts a Trainer from the migration CLI's
+    output: G and D params/BN stats come from the reference checkpoint,
+    optimizer state starts fresh."""
+    from a2m.compat.__main__ import run
+    from a2m.config import Config, DataConfig, TrainConfig
+    from a2m.data import DataLoader, make_synthetic_pats
+    from a2m.train.loop import Trainer
+
+    g_sd = _rng_sd(rng, generator_state_dict_shapes(TINY_G))
+    d_sd = _rng_sd(rng, discriminator_state_dict_shapes(TINY_D))
+    gen_path, disc_path = tmp_path / 'Best_Gen', tmp_path / 'Best_Dis'
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in g_sd.items()},
+               gen_path)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in d_sd.items()},
+               disc_path)
+    out = tmp_path / 'migrated'
+    run(str(gen_path), str(out), str(disc_path),
+        ['generator.in_channels=16', 'generator.out_channels=16',
+         'generator.joint_feat_dim=8', 'generator.gat_heads=2',
+         'discriminator.out_channels=8', 'discriminator.joint_feat_dim=8',
+         'discriminator.gat_heads=2'])
+
+    root = make_synthetic_pats(tmp_path / 'pats', speakers=('oliver',),
+                               intervals_per_speaker=2, duration_s=8.0)
+    cfg = Config(
+        generator=TINY_G, discriminator=TINY_D,
+        data=DataConfig(path2data=str(root), speakers=('oliver',),
+                        batch_size=4, window_hop=30),
+        train=TrainConfig(n_epochs=1, save_dir=str(tmp_path / 'save'),
+                          donate_buffers=False, init_from=str(out)),
+    )
+    dl = DataLoader(path2data=root, speaker=['oliver'],
+                    modalities=['pose/data', 'audio/log_mel_512'],
+                    fs_new=[15, 15], batch_size=4, window_hop=30)
+    trainer = Trainer(cfg, dl, log_fn=lambda s: None)
+    np.testing.assert_allclose(
+        np.asarray(trainer.g_state.params['body_decoder']['proj_in']
+                   ['kernel']), g_sd['body_proj_in.weight'].T)
+    np.testing.assert_allclose(
+        np.asarray(trainer.d_state.params['body_proj']['kernel']),
+        d_sd['body_proj.weight'].T)
+
+    with pytest.raises(FileNotFoundError):
+        bad = dataclasses_replace_train(cfg, init_from=str(tmp_path / 'nope'))
+        Trainer(bad, dl, log_fn=lambda s: None)
+
+
+def dataclasses_replace_train(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg,
+                               train=dataclasses.replace(cfg.train, **kw))
+
+
 def test_load_torch_file_roundtrip(tmp_path, tiny_g_vars, rng):
     """torch.save(state_dict) file -> load_torch_state_dict -> import."""
     _, variables = tiny_g_vars
