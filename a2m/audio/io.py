@@ -11,7 +11,7 @@ import shutil
 import subprocess
 import numpy as np
 
-from a2m.audio.mel_np import resample_poly
+from a2m.audio import mel_np
 
 
 def save_wav(path, y: np.ndarray, sr: int) -> None:
@@ -38,9 +38,11 @@ def load_wav(path) -> tuple[np.ndarray, int]:
     return y, int(sr)
 
 
-def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (audio_lib.py resampy equivalent)."""
-    return resample_poly(y, orig_sr, target_sr)
+def resample(y: np.ndarray, orig_sr: int, target_sr: int,
+             method: str = 'kaiser_best') -> np.ndarray:
+    """Resampling (audio_lib.py / librosa kaiser_best parity by default)."""
+    from a2m.audio import mel_np
+    return mel_np.resample(y, orig_sr, target_sr, method=method)
 
 
 def extract_audio_from_video(video_path, wav_path, sr: int = 16000) -> None:
@@ -58,7 +60,7 @@ def wav_to_features(path, method: str = 'log_mel_512') -> np.ndarray:
     y, sr = load_wav(path)
     if method == 'log_mel_512':
         return np.asarray(frontend.log_mel_512(y.astype(np.float32), sr))
-    y16 = resample_poly(y, sr, 16000).astype(np.float32)
+    y16 = resample(y, sr, 16000).astype(np.float32)
     if method == 'log_mel_400':
         return np.asarray(frontend.log_mel_400(y16))
     if method == 'vggish':

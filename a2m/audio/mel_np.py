@@ -184,9 +184,9 @@ def mel_matrix_slaney(num_mel_bins: int, n_fft: int, sample_rate: float,
 
 
 def resample_poly(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling via scipy (kaiser window).  Documented stand-in
-    for ``librosa.core.resample`` (reference audio.py:88); the frontends are
-    resampler-agnostic as long as train/eval use the same one.
+    """Polyphase resampling via scipy (kaiser window).  Fast alternative to
+    :func:`resample_kaiser_best`; the frontends are resampler-agnostic as
+    long as train/eval use the same one.
     """
     from math import gcd
     from scipy.signal import resample_poly as _rp
@@ -195,6 +195,83 @@ def resample_poly(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if up == down:
         return np.asarray(y, dtype=np.float64)
     return _rp(np.asarray(y, dtype=np.float64), up, down)
+
+
+# resampy's published `kaiser_best` filter parameters (resampy/filters.py —
+# these three numbers ARE the spec of librosa's default resampler):
+_KB_NUM_ZEROS = 64
+_KB_BETA = 14.769656459379492
+_KB_ROLLOFF = 0.9475937167399596
+_KB_DENSITY = 8192              # table samples per zero crossing (resampy
+                                # kaiser_best uses 512; denser = closer to
+                                # the analytic filter)
+
+
+def _kaiser_best_table() -> np.ndarray:
+    """Right half of the Kaiser-windowed sinc, densely sampled."""
+    from scipy.special import i0
+    t = np.linspace(0, _KB_NUM_ZEROS, _KB_NUM_ZEROS * _KB_DENSITY + 1)
+    sinc_part = _KB_ROLLOFF * np.sinc(_KB_ROLLOFF * t)
+    taper = i0(_KB_BETA * np.sqrt(np.clip(
+        1.0 - (t / _KB_NUM_ZEROS) ** 2, 0.0, 1.0))) / i0(_KB_BETA)
+    return sinc_part * taper
+
+
+def resample_kaiser_best(y: np.ndarray, orig_sr: int, target_sr: int,
+                         chunk: int = 16384) -> np.ndarray:
+    """``librosa.core.resample``'s default ``kaiser_best`` algorithm
+    (reference audio.py:88 -> librosa -> resampy), re-implemented from the
+    published spec: a 64-zero-crossing Kaiser(beta=14.7697)-windowed sinc
+    with rolloff 0.9476, scaled by min(1, ratio) for anti-aliasing on
+    downsample, output length ceil(n * ratio).
+
+    The filter table here is 16x denser than resampy's (8192 vs 512 samples
+    per zero crossing, linear interpolation in between), so this is the
+    same resampler with ~256x less table-quantization error — differences
+    from librosa are bounded by resampy's OWN table quantization (~4e-6 in
+    the filter), far below the 1e-5 feature-parity target.  librosa itself
+    is not installed in this image; `tests/test_audio_frontend.py::
+    test_kaiser_best_vs_ideal_bandlimited` verifies against the analytic
+    band-limited ideal instead.
+    """
+    y = np.asarray(y, dtype=np.float64)
+    ratio = float(target_sr) / float(orig_sr)
+    if ratio == 1.0:
+        return y
+    n_in = y.shape[-1]
+    n_out = int(np.ceil(n_in * ratio))
+    scale = min(1.0, ratio)
+    table = _kaiser_best_table()
+    half = _KB_NUM_ZEROS / scale                 # support in input samples
+    k = int(2 * half) + 2                        # taps per output sample
+    offs = np.arange(k)
+    out = np.empty(n_out, np.float64)
+    for s in range(0, n_out, chunk):
+        t = np.arange(s, min(s + chunk, n_out), dtype=np.float64) / ratio
+        left = np.ceil(t - half).astype(np.int64)
+        idx = left[:, None] + offs[None, :]      # input sample indices
+        pos = np.abs(t[:, None] - idx) * scale * _KB_DENSITY
+        base = np.minimum(pos.astype(np.int64), len(table) - 1)
+        nxt = np.minimum(base + 1, len(table) - 1)
+        frac = pos - base
+        w = (table[base] + frac * (table[nxt] - table[base])) * scale
+        w[pos >= len(table) - 1] = 0.0           # outside filter support
+        valid = (idx >= 0) & (idx < n_in)
+        xi = y[np.clip(idx, 0, n_in - 1)]
+        out[s:s + len(t)] = np.einsum('ok,ok->o', np.where(valid, xi, 0.0),
+                                      w)
+    return out
+
+
+def resample(y: np.ndarray, orig_sr: int, target_sr: int,
+             method: str = 'kaiser_best') -> np.ndarray:
+    """Resampler dispatch: 'kaiser_best' (reference-parity default,
+    librosa's algorithm) or 'polyphase' (scipy, faster)."""
+    if method == 'kaiser_best':
+        return resample_kaiser_best(y, orig_sr, target_sr)
+    if method == 'polyphase':
+        return resample_poly(y, orig_sr, target_sr)
+    raise ValueError(f'unknown resample method {method!r}')
 
 
 # ---------------------------------------------------------------------------
@@ -215,12 +292,14 @@ def log_mel_512(y: np.ndarray, sr: int, eps: float = 1e-10) -> np.ndarray:
     return np.log(mel).T.astype(np.float64)
 
 
-def log_mel_400(y: np.ndarray, sr: int, eps: float = 1e-6) -> np.ndarray:
+def log_mel_400(y: np.ndarray, sr: int, eps: float = 1e-6,
+                resample_method: str = 'kaiser_best') -> np.ndarray:
     """16 kHz 64-bin log-mel with uncentered 400/160 STFT (reference
     audio.py:86-120): magnitude (power=1) spectrogram, Slaney-scale mel with
-    ``norm=None``, fmin=125, fmax=7500.
+    ``norm=None``, fmin=125, fmax=7500.  The 16 kHz resample defaults to
+    kaiser_best — the reference's librosa default (audio.py:88).
     """
-    y = resample_poly(y, sr, 16000)
+    y = resample(y, sr, 16000, method=resample_method)
     # librosa stft with win_length=400 < n_fft=512 centers the window inside
     # the n_fft frame; with center=False, frames advance by hop from sample 0.
     window = periodic_hann(400)

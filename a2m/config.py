@@ -180,6 +180,13 @@ class TrainConfig:
     lambda_pos: float = 0.0
     save_dir: str = './save/multi_speaker'
     save_every_epochs: int = 1
+    # validation metric that selects the best-G checkpoint.  'val_g'
+    # (reference parity, version5_model_train.py:508-510) is the total dev G
+    # loss — under an active GAN it is dominated by the drifting adversarial
+    # term and selects pre-convergence checkpoints (LEARNING.md run GP60).
+    # 'pos' selects on absolute-position L1; 'val_pck' on dev PCK@0.2
+    # (higher is better — the only maximized choice).
+    best_metric: str = 'val_g'
     log_every_batches: int = 200
     resume: bool = True             # resume from latest checkpoint if present
     # warm-start from a migrated/standalone checkpoint directory (e.g. the
@@ -208,11 +215,17 @@ class TrainConfig:
     fused_gcn_eval: Optional[bool] = None
     # global-norm gradient clipping; 0 disables (reference parity: none)
     grad_clip_norm: float = 0.0
-    # PRNG implementation for the training key ('threefry2x32' default,
-    # 'rbg' uses the TPU's hardware RNG path — measured 4.9 ms faster
-    # g_step at B=128, scripts/step_time_ablation.py; draw STREAMS differ
-    # so seeds are not reproducible across impls)
+    # PRNG implementation for the training key.  None = auto: 'rbg' (the
+    # TPU's hardware RNG path — measured 4.9 ms faster g_step at B=128,
+    # scripts/step_time_ablation.py) on a real TPU, 'threefry2x32'
+    # elsewhere.  Draw STREAMS differ between impls, so seeds are not
+    # reproducible across impls (set one explicitly to pin).
     rng_impl: Optional[str] = None
+    # rematerialization of the G loss forward: '' (off), 'dots' (keep
+    # matmul outputs, recompute elementwise chains in the backward), or
+    # 'full' — a bandwidth-for-FLOPs trade on the memory-bound step (see
+    # README roofline); numerics unchanged
+    remat: str = ''
     donate_buffers: bool = True
     # observability (SURVEY §5 tracing/profiling): measure per-step MFU once
     # at start of training; capture a jax.profiler device trace of the first
@@ -227,10 +240,26 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh for GSPMD sharding.  axis sizes of -1 mean "all devices"."""
-    data: int = -1                  # batch (data-parallel) axis
+    """Device mesh for GSPMD sharding.
+
+    ``data=1, model=1`` (default) keeps the single-device train steps
+    (donation on, no collectives).  Any larger product makes the
+    :class:`~a2m.train.loop.Trainer` build a ``Mesh(('data','model'))``,
+    place states replicated (or TP-ruled when ``model > 1``), shard every
+    batch over the ``data`` axis, and use the GSPMD train steps
+    (:func:`a2m.parallel.make_sharded_train_steps`) — gradient all-reduce
+    becomes an XLA-inserted psum over ICI.  ``data=-1`` means "all devices
+    divided by ``model``" (e.g. ``python -m a2m.train mesh.data=-1``).
+    """
+    data: int = 1                   # batch (data-parallel) axis; -1 = all
     model: int = 1                  # optional channel-dim (tensor) axis
     axis_names: tuple[str, str] = ('data', 'model')
+
+    def resolved_shape(self, n_devices: int) -> tuple[int, int]:
+        """(data, model) with -1 resolved against ``n_devices``."""
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else max(1, n_devices // model)
+        return data, model
 
 
 @dataclass(frozen=True)
@@ -241,6 +270,35 @@ class Config:
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+#: validation metrics the eval step reports (train.best_metric choices)
+BEST_METRICS = ('val_g', 'val_d', 'reg', 'pos', 'gan', 'bone', 'angle',
+                'smooth', 'jerk', 'val_pck')
+
+
+def validate(cfg: Config, backend: str | None = None) -> Config:
+    """Cross-field checks that would otherwise fail deep inside a jitted
+    forward (or worse, on-device at first step).  Entry points (Trainer,
+    ``python -m a2m.train``) call this; returns ``cfg`` unchanged.
+    """
+    if backend is None:
+        import jax
+        backend = jax.default_backend()
+    if cfg.generator.fused_edge and backend == 'tpu':
+        raise ValueError(
+            'generator.fused_edge is a CPU-interpret-only design study: the '
+            'edge-form Pallas kernel crashes the Mosaic compiler on real '
+            'TPU (a2m/nn/pallas_gcn.py::_check_edge_backend). Use the dense '
+            'fused kernels (generator.fused_gcn / fused_rolled) on TPU.')
+    if cfg.train.best_metric not in BEST_METRICS:
+        raise ValueError(
+            f'train.best_metric={cfg.train.best_metric!r} not one of '
+            f'{BEST_METRICS}')
+    if cfg.train.lambda_aux > 0 and not cfg.discriminator.use_aux_classifier:
+        raise ValueError(
+            'train.lambda_aux > 0 requires discriminator.use_aux_classifier')
+    return cfg
 
 
 def _set_nested(cfg: Any, dotted: str, value: str) -> Any:

@@ -339,25 +339,35 @@ class Batcher:
 
     def __init__(self, dataset: ConcatIntervals, batch_size: int,
                  sampler=None, drop_last: bool = False,
-                 pad_to_batch: bool = True):
+                 pad_to_batch: bool = True, max_batches: int | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler or SequentialSampler(len(dataset))
         self.drop_last = drop_last
         self.pad_to_batch = pad_to_batch
+        # multi-host step balancing: cap the epoch at the global-min batch
+        # count so every host executes the same number of collective-bearing
+        # steps (a2m/data/dataset.py::tdt_split computes the cap)
+        self.max_batches = max_batches
 
     def __len__(self) -> int:
         n = len(self.sampler)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        n = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return n if self.max_batches is None else min(n, self.max_batches)
 
     def __iter__(self):
+        emitted = 0
         batch_idx: list[int] = []
         for idx in self.sampler:
+            if self.max_batches is not None and emitted >= self.max_batches:
+                return
             batch_idx.append(int(idx))
             if len(batch_idx) == self.batch_size:
                 yield self._collate(batch_idx)
+                emitted += 1
                 batch_idx = []
-        if batch_idx and not self.drop_last:
+        if batch_idx and not self.drop_last and (
+                self.max_batches is None or emitted < self.max_batches):
             yield self._collate(batch_idx)
 
     def _collate(self, indices: list[int]) -> dict:
@@ -530,16 +540,45 @@ class DataLoader(mods.Modality):
             dev_intervals = dev_intervals[:self.max_intervals]
             test_intervals = test_intervals[:self.max_intervals]
 
+        self._host_batch_caps: dict[str, int] = {}
         if (self.process_count is not None
                 or self.process_index is not None):  # multi-host sharding
-            from a2m.parallel.mesh import host_interval_slice
+            from a2m.parallel.mesh import balanced_host_slices
+            if self.quantile_sample is not None:
+                raise ValueError(
+                    'quantile_sample is data-dependent per host: hosts '
+                    'would draw unequal sampler lengths and desync at the '
+                    'first collective — not supported with '
+                    'process_index/process_count')
             pc = None if self.process_count == -1 else self.process_count
-            train_intervals = host_interval_slice(
-                train_intervals, self.process_index, pc)
-            dev_intervals = host_interval_slice(
-                dev_intervals, self.process_index, pc)
-            test_intervals = host_interval_slice(
-                test_intervals, self.process_index, pc)
+            pi = self.process_index
+            if pi is None or pc is None:
+                import jax
+                pi = pi if pi is not None else jax.process_index()
+                pc = pc if pc is not None else jax.process_count()
+            # balanced-by-window-count assignment + truncate-to-global-min
+            # batch caps: every host runs the SAME number of collective-
+            # bearing steps per epoch (plain striding leaves per-host window
+            # counts unequal, which would desync a real multi-process run).
+            # Weights come from h5 shape metadata only (no data read); the
+            # assignment is deterministic, so all hosts agree without a
+            # communication round.
+            for name, intervals in (('train', train_intervals),
+                                    ('dev', dev_intervals),
+                                    ('test', test_intervals)):
+                wmap = {i: self._interval_n_windows(i) for i in intervals}
+                slices = balanced_host_slices(intervals,
+                                              [wmap[i] for i in intervals],
+                                              pc)
+                per_host = [sum(wmap[i] for i in s) for s in slices]
+                self._host_batch_caps[name] = min(
+                    -(-n // self.batch_size) for n in per_host)
+                if name == 'train':
+                    train_intervals = slices[pi]
+                elif name == 'dev':
+                    dev_intervals = slices[pi]
+                else:
+                    test_intervals = slices[pi]
 
         (train_intervals, dev_intervals, test_intervals,
          self.train_intervals_dict) = self.update_intervals(
@@ -600,6 +639,21 @@ class DataLoader(mods.Modality):
                                      self.getSpeaker(interval_id),
                                      interval_id)
 
+    def _interval_n_windows(self, interval_id: str) -> int:
+        """Window count of one interval from h5 SHAPE metadata only (no data
+        read) — exactly :meth:`IntervalData.__len__`'s value: min over
+        modalities of the sliding-window index length."""
+        path = self.getPath2file(interval_id)
+        index_fn = (exact_window_index if self.exact_windows
+                    else window_index)
+        counts = []
+        for modality, fs_new in zip(self.modalities, self.fs_new):
+            n = hdf5_io.dataset_shape(path, modality)[0]
+            fs = self.modality_classes[modality].fs(modality)
+            counts.append(len(index_fn(n, fs, fs_new, self.time,
+                                       self.window_hop)))
+        return min(counts)
+
     def get_minidata_list(self, intervals) -> list[IntervalData]:
         kwargs = dict(modalities=self.modalities, fs_new=self.fs_new,
                       time=self.time, modality_classes=self.modality_classes,
@@ -619,11 +673,21 @@ class DataLoader(mods.Modality):
 
         train_ds = self.datasets['train']
         sampler = self.get_train_sampler(train_ds)
-        self.train = Batcher(train_ds, self.batch_size, sampler=sampler)
+        caps = getattr(self, '_host_batch_caps', {})
+        # multi-host step balancing: truncate to the global-min batch count.
+        # Applies to full-epoch samplers (len == window count); fixed-draw
+        # samplers (style_iters / weighted / num_training_iters) already
+        # yield identical lengths on every host, so no cap is needed.
+        train_cap = (caps.get('train')
+                     if len(sampler) == len(train_ds) else None)
+        self.train = Batcher(train_ds, self.batch_size, sampler=sampler,
+                             max_batches=train_cap)
         self.dev = Batcher(self.datasets['dev'], self.batch_size,
-                           sampler=SequentialSampler(len(self.datasets['dev'])))
+                           sampler=SequentialSampler(len(self.datasets['dev'])),
+                           max_batches=caps.get('dev'))
         self.test = Batcher(self.datasets['test'], self.batch_size,
-                            sampler=SequentialSampler(len(self.datasets['test'])))
+                            sampler=SequentialSampler(len(self.datasets['test'])),
+                            max_batches=caps.get('test'))
 
     def get_train_sampler(self, dataset_train: ConcatIntervals):
         n = len(dataset_train)

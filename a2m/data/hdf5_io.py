@@ -55,6 +55,13 @@ def load_array(filename, key: str, dtype=np.float32) -> np.ndarray:
         return h5[key][()].astype(dtype)
 
 
+def dataset_shape(filename, key: str) -> tuple:
+    """Dataset shape from h5 metadata only — no data read (used for
+    window-count estimation in multi-host interval balancing)."""
+    with h5_open(filename, 'r') as h5:
+        return tuple(h5[key].shape)
+
+
 def is_dataset_in_file(filename, key: str) -> bool:
     with h5_open(filename, 'r') as h5:
         return key in h5

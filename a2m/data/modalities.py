@@ -171,8 +171,9 @@ class Audio(Modality):
     def log_mel_400(self, y: np.ndarray, sr: int, eps: float = 1e-6
                     ) -> np.ndarray:
         from a2m.audio import mel_np
-        y16 = mel_np.resample_poly(np.asarray(y, dtype=np.float64), int(sr),
-                                   16000).astype(np.float32)
+        # kaiser_best: the reference's librosa resampler (audio.py:88)
+        y16 = mel_np.resample(np.asarray(y, dtype=np.float64), int(sr),
+                              16000).astype(np.float32)
         if self._pallas_active():
             from a2m.audio.pallas_mel import pallas_log_mel_400
             return np.asarray(pallas_log_mel_400(y16[None], exact=True)[0]
@@ -192,8 +193,8 @@ class Audio(Modality):
         on-device option.
         """
         from a2m.audio import mel_np, vad
-        y16 = mel_np.resample_poly(np.asarray(y, dtype=np.float64), int(sr),
-                                   16000).astype(np.float32)
+        y16 = mel_np.resample(np.asarray(y, dtype=np.float64), int(sr),
+                              16000).astype(np.float32)
         return vad.silence_stream(y16)
 
     @property

@@ -39,14 +39,13 @@ def evaluate_speaker(path2data, speaker: str, ckpt_dir=None,
                     modalities=['pose/data', 'audio/log_mel_512'],
                     fs_new=[15, 15], batch_size=batch_size, window_hop=5,
                     shuffle=False)
-    mean, std = get_mean_std_necksub(dl.train)
-    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
 
     generator = Generator(cfg.generator)
     key = jax.random.PRNGKey(0)
     variables = jax.jit(generator.init)(
         {'params': key, 'dropout': key},
         jnp.zeros((1, cfg.generator.time_steps, 128), jnp.float32))
+    mean = std = None
     if ckpt_dir is not None:
         from a2m.train.checkpoint import CheckpointManager
         from a2m.train.train_step import NetState
@@ -56,6 +55,17 @@ def evaluate_speaker(path2data, speaker: str, ckpt_dir=None,
         if best is not None:
             variables = {'params': best['params'],
                          'batch_stats': best['batch_stats']}
+            # denormalize with the stats the model was TRAINED with when the
+            # checkpoint carries them (save_best_generator ships mean/std):
+            # recomputing from this loader's train split gives WRONG stats
+            # whenever eval data differs from training data — e.g. a
+            # multi-speaker checkpoint evaluated per-speaker (the
+            # reference's generate_motion_video.py:240-243 has that flaw)
+            if 'mean' in best:
+                mean, std = best['mean'], best['std']
+    if mean is None:
+        mean, std = get_mean_std_necksub(dl.train)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
 
     @jax.jit
     def infer(audio):

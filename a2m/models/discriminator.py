@@ -138,9 +138,12 @@ class Discriminator(nn.Module):
             a = nn.Dense(cur * 4, dtype=self.dtype,
                          precision=self.precision, name='audio_fusion')(audio)
             if a.shape[1] != t:
-                # adaptive average pool to t
-                ratio = a.shape[1] // t
-                a = a[:, :ratio * t].reshape(b, t, ratio, -1).mean(axis=2)
+                # torch adaptive_avg_pool1d semantics for ANY (T_audio, t)
+                # pair — non-divisible ratios and T_audio < t included
+                from a2m.nn.layers import adaptive_pool_matrix
+                w = adaptive_pool_matrix(a.shape[1], t).astype(self.dtype)
+                a = jnp.einsum('os,bsc->boc', w, a,
+                               precision=self.precision)
             x = jnp.concatenate([x, a], axis=-1)
 
         # logits conv k3 s1 p1 -> (B, T_out) (real_motion_model.py:567-569,632)

@@ -194,6 +194,25 @@ class ConvTranspose1D(nn.Module):
         return nn.relu(y).astype(self.dtype)
 
 
+def adaptive_pool_matrix(in_len: int, out_len: int) -> jnp.ndarray:
+    """(out_len, in_len) averaging matrix with torch
+    ``adaptive_avg_pool1d`` semantics: output bin ``i`` is the mean of
+    input rows ``[floor(i*L/out), ceil((i+1)*L/out))``.
+
+    Shapes are static under jit, so the matrix is a compile-time constant
+    and pooling becomes one (small) matmul — arbitrary (in_len, out_len)
+    pairs work, including non-divisible ratios and in_len < out_len
+    (the reference relies on torch for this, real_motion_model.py:624-628).
+    """
+    import numpy as np
+    w = np.zeros((out_len, in_len), np.float32)
+    for i in range(out_len):
+        s = (i * in_len) // out_len
+        e = -(-((i + 1) * in_len) // out_len)
+        w[i, s:e] = 1.0 / (e - s)
+    return jnp.asarray(w)
+
+
 def interpolate_bilinear(x: jnp.ndarray, size: tuple[int, int]
                          ) -> jnp.ndarray:
     """torch F.interpolate(mode='bilinear', align_corners=False) on

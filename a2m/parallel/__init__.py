@@ -1,8 +1,10 @@
-from a2m.parallel.mesh import (TP_RULES, batch_sharding, host_interval_slice,
+from a2m.parallel.mesh import (TP_RULES, balanced_host_slices,
+                               batch_sharding, host_interval_slice,
                                make_mesh, make_sharded_train_steps,
                                param_shardings, param_spec, replicate_states,
                                replicated, shard_batch)
 
-__all__ = ['TP_RULES', 'batch_sharding', 'host_interval_slice', 'make_mesh',
+__all__ = ['TP_RULES', 'balanced_host_slices', 'batch_sharding',
+           'host_interval_slice', 'make_mesh',
            'make_sharded_train_steps', 'param_shardings', 'param_spec',
            'replicate_states', 'replicated', 'shard_batch']

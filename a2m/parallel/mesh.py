@@ -117,10 +117,44 @@ def replicate_states(states, mesh: Mesh):
 def host_interval_slice(intervals: list, process_index: int | None = None,
                         process_count: int | None = None) -> list:
     """Multi-host data sharding: stride intervals across hosts over DCN so
-    each host feeds its local devices distinct data."""
+    each host feeds its local devices distinct data.
+
+    NOTE: striding balances interval COUNTS, not window counts — prefer
+    :func:`balanced_host_slices` (what :class:`a2m.data.DataLoader` uses)
+    when per-interval weights are known, so hosts execute near-equal
+    numbers of collective-bearing steps.
+    """
     pi = process_index if process_index is not None else jax.process_index()
     pc = process_count if process_count is not None else jax.process_count()
     return intervals[pi::pc]
+
+
+def balanced_host_slices(intervals: list, weights: list | None = None,
+                         process_count: int | None = None) -> list[list]:
+    """Disjoint-complete partition of ``intervals`` across hosts with
+    near-equal total ``weights`` (window counts) per host.
+
+    Greedy LPT: heaviest interval first onto the currently-lightest host —
+    deterministic (ties break on host index / interval order), so every
+    host computes the SAME assignment from the same metadata and no
+    host-to-host agreement round is needed.  Per-host step counts in a
+    multi-process run must match or hosts desync at the first collective;
+    the residual imbalance after LPT is bounded by one interval's windows
+    and is removed by the DataLoader's truncate-to-global-min batch cap.
+    """
+    pc = process_count if process_count is not None else jax.process_count()
+    if weights is None:
+        return [intervals[i::pc] for i in range(pc)]
+    assert len(weights) == len(intervals)
+    order = sorted(range(len(intervals)),
+                   key=lambda i: (-weights[i], i))
+    loads = [0] * pc
+    buckets: list[list[int]] = [[] for _ in range(pc)]
+    for i in order:
+        h = min(range(pc), key=lambda k: (loads[k], k))
+        buckets[h].append(i)
+        loads[h] += weights[i]
+    return [[intervals[i] for i in sorted(b)] for b in buckets]
 
 
 def make_sharded_train_steps(g_model, d_model, train_cfg, mesh: Mesh,

@@ -82,23 +82,52 @@ class CheckpointManager:
                     mean=st['mean'], std=st['std'],
                     extra=restored['extra'])
 
-    def save_best_generator(self, g_state: NetState) -> None:
+    def save_best_generator(self, g_state: NetState, mean=None,
+                            std=None) -> None:
         """Standalone best-G checkpoint (reference Best_Gen,
-        version5_model_train.py:508-510)."""
+        version5_model_train.py:508-510).
+
+        ``mean``/``std``: the training normalization stats.  The reference's
+        Best_Gen never carries them, so its inference script re-derives stats
+        from whatever loader it builds (generate_motion_video.py:240-243) —
+        wrong stats when eval data differs from training data (e.g. a
+        multi-speaker checkpoint evaluated per-speaker).  Saving them here
+        lets eval/viz denormalize with the stats the model was trained on.
+        """
         path = self.directory / 'best_gen'
+        payload = dict(params=_tree_to_pure(g_state.params),
+                       batch_stats=_tree_to_pure(g_state.batch_stats))
+        if mean is not None and std is not None:
+            payload['mean'] = np.asarray(mean)
+            payload['std'] = np.asarray(std)
         ckpt = ocp.StandardCheckpointer()
-        ckpt.save(path, dict(params=_tree_to_pure(g_state.params),
-                             batch_stats=_tree_to_pure(g_state.batch_stats)),
-                  force=True)
+        ckpt.save(path, payload, force=True)
         ckpt.wait_until_finished()
 
     def load_best_generator(self, g_state: NetState) -> dict | None:
-        path = self.directory / 'best_gen'
-        if not path.exists():
-            return None
-        ckpt = ocp.StandardCheckpointer()
-        template = dict(params=_tree_to_pure(g_state.params),
-                        batch_stats=_tree_to_pure(g_state.batch_stats))
+        return load_generator_ckpt(self.directory / 'best_gen', g_state)
+
+
+def load_generator_ckpt(path, g_state: NetState) -> dict | None:
+    """Restore a standalone generator checkpoint directory (the ``best_gen``
+    layout written by :meth:`CheckpointManager.save_best_generator` and by
+    ``python -m a2m.compat``).
+
+    Returns dict(params, batch_stats[, mean, std]) — normalization stats
+    present iff the checkpoint was saved with them (older checkpoints and
+    reference imports load without).
+    """
+    path = Path(path).absolute()
+    if not path.exists():
+        return None
+    ckpt = ocp.StandardCheckpointer()
+    template = dict(params=_tree_to_pure(g_state.params),
+                    batch_stats=_tree_to_pure(g_state.batch_stats))
+    with_stats = dict(template, mean=np.zeros(104, np.float32),
+                      std=np.ones(104, np.float32))
+    try:
+        return ckpt.restore(path, with_stats)
+    except Exception:
         return ckpt.restore(path, template)
 
 

@@ -34,7 +34,8 @@ class Trainer:
     def __init__(self, cfg: Config, dataloader, g_model: Generator | None = None,
                  d_model: Discriminator | None = None, seed: int = 0,
                  log_fn: Callable[[str], None] = print):
-        self.cfg = cfg
+        from a2m.config import validate as validate_config
+        self.cfg = cfg = validate_config(cfg)
         self.dataloader = dataloader
         self.log = log_fn
         import jax.numpy as _jnp
@@ -45,11 +46,16 @@ class Trainer:
         self.d_model = d_model or Discriminator(cfg.discriminator,
                                                 dtype=compute_dtype)
         self.controller = DynamicGANTraining(cfg.train.controller)
-        # train.rng_impl='rbg' -> hardware RNG inside the jitted steps
-        # (dropout + label noise): -4.9 ms/g_step at B=128 on v5e.  Typed
-        # keys (jax.random.key) carry their impl through split/fold_in.
-        self.key = (jax.random.key(seed, impl=cfg.train.rng_impl)
-                    if cfg.train.rng_impl else jax.random.PRNGKey(seed))
+        # train.rng_impl: hardware RNG ('rbg') inside the jitted steps
+        # (dropout + label noise) is -4.9 ms/g_step at B=128 on v5e; None =
+        # auto-select it on a real TPU (threefry elsewhere, keeping CPU
+        # tests deterministic vs history).  Typed keys (jax.random.key)
+        # carry their impl through split/fold_in.
+        rng_impl = cfg.train.rng_impl
+        if rng_impl is None and jax.default_backend() == 'tpu':
+            rng_impl = 'rbg'
+        self.key = (jax.random.key(seed, impl=rng_impl)
+                    if rng_impl else jax.random.PRNGKey(seed))
 
         self.key, init_key = jax.random.split(self.key)
         self.g_state, self.d_state = init_states(
@@ -59,15 +65,59 @@ class Trainer:
             g_lr=cfg.train.controller.g_lr, d_lr=cfg.train.controller.d_lr,
             grad_clip_norm=cfg.train.grad_clip_norm)
 
-        self.g_step, self.d_step, self.eval_step = make_train_steps(
-            self.g_model, self.d_model, cfg.train,
-            donate=cfg.train.donate_buffers)
+        # GSPMD mesh training (SURVEY §7.7): any mesh larger than one device
+        # switches to the sharded train steps — states replicated (or
+        # TP-ruled), batches sharded over 'data', gradient psum over ICI.
+        # The reference is strictly single-GPU (version5_model_train.py:
+        # 256-282); mesh.data=1 (default) keeps the single-device steps.
+        self.mesh = None
+        data_ax, model_ax = cfg.mesh.resolved_shape(jax.device_count())
+        if data_ax * model_ax > 1:
+            from a2m.parallel import (make_mesh, make_sharded_train_steps,
+                                      param_shardings, replicated)
+            if cfg.data.batch_size % data_ax:
+                raise ValueError(
+                    f'data.batch_size={cfg.data.batch_size} not divisible '
+                    f'by mesh data axis {data_ax}')
+            self.mesh = make_mesh(cfg.mesh)
+            tp = model_ax > 1
+            rep = replicated(self.mesh)
+
+            def place(state):
+                return state._replace(
+                    params=jax.device_put(
+                        state.params, param_shardings(state.params,
+                                                      self.mesh, tp)),
+                    batch_stats=jax.device_put(state.batch_stats, rep),
+                    opt_state=jax.device_put(state.opt_state, rep))
+
+            self._place_state = place
+            self.g_state, self.d_state = place(self.g_state), place(
+                self.d_state)
+            g_s, d_s, e_s = make_sharded_train_steps(
+                self.g_model, self.d_model, cfg.train, self.mesh,
+                tensor_parallel=tp)
+            # the sharded steps take style/mask as explicit positionals
+            # (in_shardings must match the positional arg count); adapt to
+            # the Trainer's keyword calling convention
+            self.g_step = lambda *a, style=None, mask=None: g_s(*a, style,
+                                                                mask)
+            self.d_step = lambda *a, style=None, mask=None: d_s(*a, style,
+                                                                mask)
+            self.eval_step = lambda *a, style=None: e_s(*a, style)
+            self.log(f'mesh training: {data_ax}x{model_ax} (data x model)'
+                     + (' + tensor-parallel rules' if tp else ''))
+        else:
+            self._place_state = lambda s: s
+            self.g_step, self.d_step, self.eval_step = make_train_steps(
+                self.g_model, self.d_model, cfg.train,
+                donate=cfg.train.donate_buffers)
 
         # train-set normalization stats (reference
         # version5_model_train.py:296; computed once, checkpointed)
         mean, std = get_mean_std_necksub(dataloader.train)
-        self.mean = jnp.asarray(mean)
-        self.std = jnp.asarray(std)
+        self.mean = self._rep(mean)
+        self.std = self._rep(std)
 
         self.ckpt = ckpt_lib.CheckpointManager(
             Path(cfg.train.save_dir) / 'ckpt')
@@ -86,38 +136,47 @@ class Trainer:
                 self.g_state = restored['g_state']
                 self.d_state = restored['d_state']
                 self.controller.load_state_dict(restored['controller'])
-                self.mean = jnp.asarray(restored['mean'])
-                self.std = jnp.asarray(restored['std'])
+                self.mean = self._rep(restored['mean'])
+                self.std = self._rep(restored['std'])
                 self.start_epoch = restored['epoch'] + 1
                 self.loss_history = restored['extra'].get(
                     'loss_history', self.loss_history)
                 self.log(f'resumed from epoch {restored["epoch"]}')
+
+        # restored/warm-started states are host trees — (re)apply the mesh
+        # placement so the sharded steps see properly placed inputs
+        if self.mesh is not None and (cfg.train.resume or cfg.train.init_from):
+            self.g_state = self._place_state(self.g_state)
+            self.d_state = self._place_state(self.d_state)
 
     # ------------------------------------------------------------------
 
     def _init_from(self, path) -> None:
         """Warm-start from a checkpoint directory holding a standalone
         ``best_gen`` (and optionally ``imported_disc``) — the layout written
-        by ``python -m a2m.compat`` and by ``save_best_generator``.  Params
-        and BN stats load; optimizer state stays fresh (the reference never
-        persisted it, version5_model_train.py:509-515)."""
+        by ``python -m a2m.compat`` and by ``save_best_generator``.  Params,
+        BN stats, and (when saved with the checkpoint) normalization stats
+        load; optimizer state stays fresh (the reference never persisted it,
+        version5_model_train.py:509-515)."""
         import numpy as _np
         import orbax.checkpoint as ocp
         p = Path(path)
-        gen_dir = (p / 'best_gen').absolute()
-        if not gen_dir.exists():
+        best = ckpt_lib.load_generator_ckpt(p / 'best_gen', self.g_state)
+        if best is None:
             raise FileNotFoundError(
                 f'train.init_from: no best_gen checkpoint under {p}')
-        ckpt = ocp.StandardCheckpointer()
-        tmpl = dict(params=jax.tree.map(_np.asarray, self.g_state.params),
-                    batch_stats=jax.tree.map(_np.asarray,
-                                             self.g_state.batch_stats))
-        best = ckpt.restore(gen_dir, tmpl)
         self.g_state = self.g_state._replace(
             params=best['params'], batch_stats=best['batch_stats'])
-        d_dir = (p / 'imported_disc').absolute()
         loaded = 'G'
+        if 'mean' in best:
+            # adopt the stats the warm-start model was trained with — its
+            # outputs live in that normalization space
+            self.mean = self._rep(best['mean'])
+            self.std = self._rep(best['std'])
+            loaded += '+stats'
+        d_dir = (p / 'imported_disc').absolute()
         if d_dir.exists():
+            ckpt = ocp.StandardCheckpointer()
             tmpl = dict(params=jax.tree.map(_np.asarray,
                                             self.d_state.params),
                         batch_stats=jax.tree.map(_np.asarray,
@@ -125,12 +184,28 @@ class Trainer:
             rd = ckpt.restore(d_dir, tmpl)
             self.d_state = self.d_state._replace(
                 params=rd['params'], batch_stats=rd['batch_stats'])
-            loaded = 'G+D'
+            loaded += '+D'
         self.log(f'initialized {loaded} from {p}')
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _rep(self, x):
+        """Stage a replicated array (mesh-aware device placement)."""
+        if self.mesh is not None:
+            from a2m.parallel import replicated
+            return jax.device_put(jnp.asarray(x), replicated(self.mesh))
+        return jnp.asarray(x)
+
+    def _batch_put(self, x):
+        """Stage a batch array, sharded over the mesh data axis when on."""
+        if x is None:
+            return None
+        if self.mesh is not None:
+            from a2m.parallel import batch_sharding
+            return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
+        return jnp.asarray(x)
 
     def _mfu_report(self, args, style, mask):
         """Log per-step MFU once, from timings of the live training steps.
@@ -191,10 +266,10 @@ class Trainer:
         (cfg.train.prefetch_batches deep; 0 = fully synchronous).
         """
         depth = self.cfg.train.prefetch_batches
-        to_device = lambda b: (jnp.asarray(b['audio/log_mel_512']),  # noqa: E731
-                               jnp.asarray(b['pose/data']),
-                               self._style_ids(b),
-                               jnp.asarray(b['mask']))
+        to_device = lambda b: (self._batch_put(b['audio/log_mel_512']),  # noqa: E731
+                               self._batch_put(b['pose/data']),
+                               self._batch_put(self._style_ids(b)),
+                               self._batch_put(b['mask']))
         if depth <= 0:
             for batch in iterator:
                 yield to_device(batch)
@@ -347,16 +422,43 @@ class Trainer:
                   real_lp.noise_std, self.key)
         return g_args, d_args
 
+    def best_score(self, val: dict[str, float]) -> float:
+        """Scalar to MINIMIZE for best-G selection, per cfg.train.best_metric
+        ('val_pck' is a quality metric — negated so higher PCK wins)."""
+        m = self.cfg.train.best_metric
+        if m not in val:
+            raise KeyError(f'train.best_metric={m!r} not in validation '
+                           f'metrics {sorted(val)}')
+        return -val[m] if m == 'val_pck' else val[m]
+
+    def initial_best_score(self) -> float:
+        """Resume-safe starting 'best' for checkpoint selection."""
+        hist = self.loss_history.get('best_score')
+        if hist:
+            return min(hist)
+        if self.cfg.train.best_metric == 'val_g':
+            # pre-best_metric checkpoints tracked best via val_g history
+            return min(self.loss_history['val_g'], default=float('inf'))
+        return float('inf')
+
+    def save_best(self, epoch: int, val: dict[str, float]) -> None:
+        self.loss_history.setdefault('best_score', []).append(
+            self.best_score(val))
+        self.ckpt.save_best_generator(self.g_state, self.mean, self.std)
+        m = self.cfg.train.best_metric
+        self.log(f'new best G at epoch {epoch} ({m} {val[m]:.4f})')
+
     def validate(self) -> dict[str, float]:
         sums: dict[str, float] = {}
         steps = 0
         for batch in self.dataloader.dev:
-            audio = jnp.asarray(batch['audio/log_mel_512'])
-            pose = jnp.asarray(batch['pose/data'])
-            mask = jnp.asarray(batch['mask'])
+            audio = self._batch_put(batch['audio/log_mel_512'])
+            pose = self._batch_put(batch['pose/data'])
+            mask = self._batch_put(batch['mask'])
             metrics = self.eval_step(self.g_state, self.d_state, audio, pose,
                                      self.mean, self.std, mask,
-                                     style=self._style_ids(batch))
+                                     style=self._batch_put(
+                                         self._style_ids(batch)))
             # one d2h transfer for the whole metric dict (each float() is a
             # separate ~ms round trip on the tunnel backend)
             for k, v in jax.device_get(metrics).items():
@@ -367,7 +469,7 @@ class Trainer:
     def fit(self, n_epochs: int | None = None) -> dict:
         cfg = self.cfg
         n_epochs = n_epochs if n_epochs is not None else cfg.train.n_epochs
-        best_val = min(self.loss_history['val_g'], default=float('inf'))
+        best_val = self.initial_best_score()
         for epoch in range(self.start_epoch, n_epochs):
             t0 = time.perf_counter()
             self.train_epoch(epoch)
@@ -380,10 +482,14 @@ class Trainer:
                      f'smooth {val.get("smooth", 0):.4f} jerk {val.get("jerk", 0):.4f} | '
                      f'{time.perf_counter() - t0:.1f}s')
 
-            if val.get('val_g', float('inf')) < best_val:
-                best_val = val['val_g']
-                self.ckpt.save_best_generator(self.g_state)
-                self.log(f'new best G at epoch {epoch}')
+            # empty dev split -> no metrics to select on; skip best-G
+            # selection (best_score raises on a mistyped metric NAME, but an
+            # absent dev set is a legitimate tiny-fixture configuration)
+            if val:
+                score = self.best_score(val)
+                if score < best_val:
+                    best_val = score
+                    self.save_best(epoch, val)
 
             if epoch % cfg.train.save_every_epochs == 0:
                 self.ckpt.save(epoch, self.g_state, self.d_state,

@@ -35,6 +35,7 @@ from a2m.models import Discriminator, Generator
 from a2m.nn import masking
 from a2m.models import losses as L
 from a2m.models.discriminator import aux_cross_entropy
+from a2m.eval.metrics import pck_radius
 
 
 class NetState(NamedTuple):
@@ -104,6 +105,28 @@ def smooth_labels(key, batch_size: int, out_dim: int, smooth: jnp.ndarray,
     if is_real:
         return jnp.clip(noisy, 0.85, 1.0)
     return jnp.clip(noisy, 0.0, 0.15)
+
+
+def _maybe_remat(loss_fn, policy_name: str):
+    """Optionally rematerialize the G loss forward (``train.remat``).
+
+    The step is bandwidth-bound (README roofline: ~15 FLOP/byte, 4x below
+    the v5e f32 ridge), so trading idle MXU FLOPs for fewer residual
+    reads/writes can pay.  'dots' keeps matmul outputs resident and
+    recomputes the elementwise chains (BN/LeakyReLU/dropout) in the
+    backward; 'full' recomputes the entire forward.  Numerics are
+    unchanged — remat replays the SAME ops with the SAME PRNG keys.
+    """
+    if not policy_name:
+        return loss_fn
+    if policy_name == 'full':
+        return jax.checkpoint(loss_fn)
+    if policy_name == 'dots':
+        return jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f'train.remat={policy_name!r}: use "", "full" or '
+                     f'"dots"')
 
 
 def _apply_g(g_model, params, batch_stats, audio, key, train,
@@ -219,8 +242,6 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         k_label, k_gdrop, k_ddrop = jax.random.split(key, 3)
         real_pose = normalize_pose_device(pose, mean, std)
         real_motion = L.pos_to_motion(real_pose)
-        valid = smooth_labels(k_label, audio.shape[0], 4, smooth, noise_std,
-                              is_real=True)
 
         def loss_fn(g_params):
             # batch_mask: wrap-padded rows are excluded from BN moments in
@@ -235,6 +256,11 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                                                d_state.batch_stats,
                                                fake_motion, k_ddrop, True,
                                                audio=d_audio(audio))
+            # label width derives from the D output (T_out of its conv
+            # stack) so non-default n_downsampling / time_steps configs get
+            # correctly-shaped smooth labels (shapes are static under jit)
+            valid = smooth_labels(k_label, audio.shape[0], fake_d.shape[-1],
+                                  smooth, noise_std, is_real=True)
 
             kin = masked_motion_losses(real_pose, real_motion, fake_pose,
                                        fake_motion, mask)
@@ -249,7 +275,7 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
             return total, (new_g_bs, new_d_bs, metrics)
 
         grads, (new_g_bs, new_d_bs, metrics) = jax.grad(
-            loss_fn, has_aux=True)(g_state.params)
+            _maybe_remat(loss_fn, cfg.remat), has_aux=True)(g_state.params)
         updates, new_opt = g_tx.update(grads, g_state.opt_state,
                                        g_state.params)
         new_params = optax.apply_updates(g_state.params, updates)
@@ -268,10 +294,6 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         k_lr, k_lf, k_gdrop, k_d1, k_d2 = jax.random.split(key, 5)
         real_pose = normalize_pose_device(pose, mean, std)
         real_motion = L.pos_to_motion(real_pose)
-        valid = smooth_labels(k_lr, audio.shape[0], 4, smooth_r, noise_std,
-                              is_real=True)
-        fake = smooth_labels(k_lf, audio.shape[0], 4, smooth_f, noise_std,
-                             is_real=False)
 
         # no-grad G forward in train mode (version5_model_train.py:391-393)
         with masking.batch_mask(mask):
@@ -288,6 +310,11 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                 real_d, aux_real, bs2 = _apply_d(d_model, d_params, bs1,
                                                  real_motion, k_d2, True,
                                                  audio=d_audio(audio))
+            # label width from the D output shape (see g_step)
+            valid = smooth_labels(k_lr, audio.shape[0], real_d.shape[-1],
+                                  smooth_r, noise_std, is_real=True)
+            fake = smooth_labels(k_lf, audio.shape[0], fake_d.shape[-1],
+                                 smooth_f, noise_std, is_real=False)
 
             def mm(x):
                 return L.masked_mean(x, mask)
@@ -314,7 +341,10 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
                   mean, std, mask, style=None):
         """Validation pass with the reference's loss breakdown
         (version5_model_train.py:425-495); eval mode, hard 1/0 labels,
-        masked means over the padded final batch."""
+        masked means over the padded final batch.  Also reports ``val_pck``
+        (PCK@0.2 in the denormalized pose space, motion_evaluation.py:4-23
+        semantics) so best-checkpoint selection can target the quality
+        metric directly instead of the GAN-drifting total loss."""
         real_pose = normalize_pose_device(pose, mean, std)
         real_motion = L.pos_to_motion(real_pose)
         fake_pose, _ = _apply_g(g_nograd_model, g_state.params,
@@ -336,10 +366,21 @@ def make_train_steps(g_model: Generator, d_model: Discriminator,
         d_loss = (L.masked_mean((real_d - valid) ** 2, mask)
                   + cfg.lambda_d * L.masked_mean((fake_d - fake_lab) ** 2,
                                                  mask))
+        # PCK@0.2 on denormalized keypoints (the harness's metric,
+        # a2m/eval/metrics.py; denormalize(normalized) == neck-sub space)
+        b, t, f = pose.shape
+        gen_kp = (fake_pose * std + mean).reshape(b * t, 2, f // 2)
+        gt_kp = (real_pose * std + mean).reshape(b * t, 2, f // 2)
+        radius = pck_radius(gt_kp, 0.2)[:, None]
+        dist = jnp.sqrt(jnp.sum((gt_kp - gen_kp) ** 2, axis=1))
+        per_clip = ((dist <= radius).astype(jnp.float32)
+                    .mean(axis=1).reshape(b, t).mean(axis=1))
+        val_pck = L.masked_mean(per_clip, mask)
         return dict(val_g=kin['reg'] + cfg.lambda_gan * g_gan, val_d=d_loss,
                     reg=kin['reg'], pos=kin['pos'], gan=g_gan,
                     bone=kin['bone'], angle=kin['angle'],
-                    smooth=kin['smooth'], jerk=kin['jerk'])
+                    smooth=kin['smooth'], jerk=kin['jerk'],
+                    val_pck=val_pck)
 
     if not jit_steps:
         return g_step, d_step, eval_step

@@ -42,12 +42,12 @@ def run(path2data, speaker: str, ckpt_dir, out_dir, sample_idx: int = 1,
                     modalities=['pose/data', 'audio/log_mel_512'],
                     fs_new=[15, 15], batch_size=batch_size, window_hop=5)
     batch = next(iter(dl.test))
-    mean, std = get_mean_std_necksub(dl.train)
 
     generator = Generator(cfg.generator)
     key = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 64, 128), jnp.float32)
     variables = jax.jit(generator.init)({'params': key, 'dropout': key}, dummy)
+    mean = std = None
     if ckpt_dir is not None:
         from a2m.train.checkpoint import CheckpointManager
         from a2m.train.train_step import NetState
@@ -58,6 +58,14 @@ def run(path2data, speaker: str, ckpt_dir, out_dir, sample_idx: int = 1,
         if best is not None:
             variables = {'params': best['params'],
                          'batch_stats': best['batch_stats']}
+            # prefer the training-time stats shipped with the checkpoint
+            # (the reference recomputes from whatever loader it builds —
+            # generate_motion_video.py:240-243 — wrong for multi-speaker
+            # checkpoints evaluated per-speaker)
+            if 'mean' in best:
+                mean, std = best['mean'], best['std']
+    if mean is None:
+        mean, std = get_mean_std_necksub(dl.train)
 
     audio = batch['audio/log_mel_512']
     real = neck_subtract(batch['pose/data'])

@@ -159,7 +159,7 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
 
     epoch_log: list[dict] = []
     progress_path = save / 'campaign_progress.json'
-    best_val = min(trainer.loss_history['val_g'], default=float('inf'))
+    best_val = trainer.initial_best_score()
     for epoch in range(trainer.start_epoch, epochs):
         t0 = time.perf_counter()
         skip_before = skip_state['skips']
@@ -178,11 +178,10 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
         epoch_log.append(row)
         print(json.dumps(row), flush=True)
 
-        if val.get('val_g', float('inf')) < best_val:
-            best_val = val['val_g']
-            trainer.ckpt.save_best_generator(trainer.g_state)
-            print(f'new best G at epoch {epoch} (val_g {best_val:.4f})',
-                  flush=True)
+        score = trainer.best_score(val)
+        if score < best_val:
+            best_val = score
+            trainer.save_best(epoch, val)
         if (epoch + 1) % cfg.train.save_every_epochs == 0 or epoch == epochs - 1:
             trainer.ckpt.save(epoch, trainer.g_state, trainer.d_state,
                               trainer.controller.state_dict(), trainer.mean,

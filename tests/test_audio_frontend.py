@@ -24,7 +24,9 @@ def clip():
 
 @pytest.fixture(scope='module')
 def clip16(clip):
-    return mel_np.resample_poly(clip, SR, 16000)
+    # kaiser_best: the reference's librosa resampler (audio.py:88) — the
+    # golden log_mel_400/vggish paths and the frontends share it
+    return mel_np.resample(clip, SR, 16000)
 
 
 # ---------------------------------------------------------------------------
@@ -257,8 +259,8 @@ def test_audio_modality_silence_uses_gmm_vad():
     y, truth = _speech_like(sr=45600)
     a = Audio.__new__(Audio)                 # silence() uses no init state
     got = a.silence(y, 45600)
-    y16 = mel_np.resample_poly(y.astype(np.float64), 45600,
-                               16000).astype(np.float32)
+    y16 = mel_np.resample(y.astype(np.float64), 45600,
+                          16000).astype(np.float32)
     np.testing.assert_array_equal(got, vad.silence_stream(y16))
     silent = got[0::2].astype(bool)
     n = min(len(silent), len(truth))
@@ -362,3 +364,55 @@ def test_radix_fast_path_parity(clip, clip16):
                                             exact=False))
     n = min(len(gv), len(jv))
     assert np.abs(gv[:n] - jv[:n]).max() < 5e-5
+
+
+def test_kaiser_best_vs_ideal_bandlimited():
+    """The kaiser_best resampler (librosa's algorithm, reference
+    audio.py:88) against the analytic band-limited ideal: interior error
+    must be orders of magnitude below the scipy-polyphase drift bound
+    (VERDICT r3 item 10) — both raw and through log_mel_400."""
+    rng = np.random.default_rng(7)
+    sr, dur = 45600, 2.0
+    n = int(sr * dur)
+    spec = np.fft.rfft(rng.standard_normal(n))
+    freqs = np.fft.rfftfreq(n, 1 / sr)
+    # band-limit inside the kaiser_best passband (rolloff 0.9476 * 8 kHz)
+    spec[freqs > 7000] = 0.0
+    y = np.fft.irfft(spec, n)
+    y *= 0.1 / np.abs(y).max()
+
+    kb = mel_np.resample_kaiser_best(y, sr, 16000)
+    n16 = int(len(y) * 16000 / sr)
+    ideal = np.fft.irfft(np.fft.rfft(y)[:n16 // 2 + 1], n16) * (16000 / sr)
+    m = min(len(kb), len(ideal))
+    pad = 200                        # windowed-sinc edge transients
+    raw_err = np.abs(kb[pad:m - pad] - ideal[pad:m - pad]).max()
+    assert raw_err < 2e-4, f'raw kaiser_best error {raw_err:.2e}'
+
+    m_kb = mel_np.log_mel_400(kb[:m].astype(np.float64), 16000,
+                              resample_method='polyphase')
+    m_ideal = mel_np.log_mel_400(ideal[:m].astype(np.float64), 16000,
+                                 resample_method='polyphase')
+    t = min(len(m_kb), len(m_ideal))
+    interior = np.abs(m_kb[2:t - 2] - m_ideal[2:t - 2]).max()
+    # scipy polyphase measured 0.096 nats on this bound (round 3);
+    # kaiser_best must be far tighter
+    assert interior < 5e-3, f'kaiser_best feature drift {interior:.2e} nats'
+
+
+def test_kaiser_best_tone_and_lengths():
+    """Pure-tone fidelity + output-length contract ceil(n * ratio), up and
+    down, non-rational ratios included."""
+    sr = 45600
+    t = np.arange(int(sr * 1.0)) / sr
+    y = np.sin(2 * np.pi * 440.0 * t)
+    for target in (16000, 15963, 89000):
+        out = mel_np.resample_kaiser_best(y, sr, target)
+        assert len(out) == int(np.ceil(len(y) * target / sr))
+        tt = np.arange(len(out)) / target
+        want = np.sin(2 * np.pi * 440.0 * tt)
+        pad = 200
+        err = np.abs(out[pad:-pad] - want[pad:len(out) - pad]).max()
+        assert err < 2e-4, (target, err)
+    # identity
+    np.testing.assert_array_equal(mel_np.resample_kaiser_best(y, sr, sr), y)

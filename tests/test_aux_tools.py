@@ -247,6 +247,30 @@ def test_streaming_short_clip(rng):
     assert np.isfinite(pose).all()
 
 
+def test_streaming_multi_stream_matches_single(rng):
+    """stream_poses_multi: S streams through ONE shared window batch give
+    exactly the per-stream stream_poses outputs (VERDICT r3 item 9), for
+    unequal stream lengths too."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import stream_poses, stream_poses_multi
+    from a2m.models import Generator
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    streams = [rng.standard_normal((n, 128)).astype(np.float32)
+               for n in (200, 130, 64, 30)]
+    multi = stream_poses_multi(g, v, streams, hop=32, batch_size=8)
+    assert [m.shape for m in multi] == [(200, 104), (130, 104), (64, 104),
+                                        (30, 104)]
+    for f, m in zip(streams, multi):
+        single = stream_poses(g, v, f, hop=32, batch_size=8)
+        np.testing.assert_allclose(m, single, atol=1e-5)
+
+
 def test_legacy_speaker_stats_decode(rng):
     """The shipped 10-speaker constants registry decodes in the legacy
     98-dim layout (pose_video/consts.py:39-604 parity)."""

@@ -570,3 +570,33 @@ def test_restore_all_intervals(tmp_path):
     assert out.shape == (3, 104)
     # idempotent
     assert hdf5_io.restore_all_intervals(tmp_path, 'sp') == 0
+
+
+def test_multihost_balanced_equal_batches(pats_root):
+    """VERDICT r3 item 3: per-host batch counts are EQUAL for every split
+    (balanced interval assignment + truncate-to-global-min), so hosts in a
+    real multi-process run execute the same number of collective-bearing
+    steps per epoch."""
+    kw = dict(path2data=pats_root, speaker=['oliver', 'noah'],
+              modalities=['pose/data', 'audio/log_mel_512'],
+              fs_new=[15, 15], batch_size=4, window_hop=5)
+    hosts = [DataLoader(**kw, process_index=i, process_count=2)
+             for i in range(2)]
+    for split in ('train', 'dev', 'test'):
+        lens = [len(getattr(h, split)) for h in hosts]
+        assert lens[0] == lens[1], (split, lens)
+        assert lens[0] >= 1
+        # iteration honors the cap exactly
+        counts = [sum(1 for _ in getattr(h, split)) for h in hosts]
+        assert counts == lens
+    # metadata-only window counts agree with the loaded datasets
+    h0 = hosts[0]
+    from pathlib import Path
+    for ds in h0.datasets['train'].datasets:
+        iid = Path(ds.path2h5).stem
+        assert h0._interval_n_windows(iid) == len(ds)
+    # quantile sampling is data-dependent per host -> loud failure
+    import pytest
+    with pytest.raises(ValueError, match='quantile'):
+        DataLoader(**kw, process_index=0, process_count=2,
+                   quantile_sample=0.5)

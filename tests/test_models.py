@@ -319,3 +319,56 @@ def test_discriminator_audio_fusion_gradient(rng):
 
     grads = jax.grad(loss)(variables['params'])
     assert float(jnp.sum(grads['audio_fusion']['kernel'] ** 2)) > 0
+
+
+def test_adaptive_pool_matrix_matches_torch():
+    """adaptive_pool_matrix == torch.adaptive_avg_pool1d for arbitrary
+    (in_len, out_len), including non-divisible and upsampling ratios
+    (VERDICT r3 item 7; real_motion_model.py:624-628)."""
+    import torch
+    import torch.nn.functional as F
+    from a2m.nn.layers import adaptive_pool_matrix
+    rng = np.random.default_rng(0)
+    for in_len, out_len in ((64, 4), (63, 4), (7, 4), (5, 8), (3, 4),
+                            (89, 6), (6, 6)):
+        x = rng.standard_normal((2, in_len, 3)).astype(np.float32)
+        w = np.asarray(adaptive_pool_matrix(in_len, out_len))
+        got = np.einsum('os,bsc->boc', w, x)
+        want = F.adaptive_avg_pool1d(
+            torch.from_numpy(x).permute(0, 2, 1), out_len
+        ).permute(0, 2, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_discriminator_audio_fusion_nondivisible_time():
+    """D audio fusion pools ANY (T_audio, t) pair — non-divisible and
+    shorter-than-t audio included (the old integer-ratio reshape broke)."""
+    import jax
+    from a2m.config import DiscriminatorConfig
+    from a2m.models import Discriminator
+    cfg = DiscriminatorConfig(out_channels=8, joint_feat_dim=8, gat_heads=2,
+                              dropout=0.1, audio_fusion=True)
+    model = Discriminator(cfg)
+    motion = jnp.zeros((2, 63, 104), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    for t_audio in (64, 63, 7, 3):
+        audio = jnp.ones((2, t_audio, 128), jnp.float32)
+        variables = jax.jit(model.init)({'params': key, 'dropout': key},
+                                        motion, audio=audio)
+        scores, _ = model.apply(variables, motion, audio=audio, train=False)
+        assert scores.shape == (2, 4)
+        assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_fused_edge_rejected_at_config_time():
+    """VERDICT r3 item 6: generator.fused_edge is rejected by config
+    validation on a TPU backend (the kernel is CPU-interpret-only) instead
+    of crashing at first on-device forward."""
+    import pytest
+    from a2m.config import Config, GeneratorConfig, validate
+    cfg = Config(generator=GeneratorConfig(fused_edge=True))
+    with pytest.raises(ValueError, match='fused_edge'):
+        validate(cfg, backend='tpu')
+    # CPU (interpret mode) keeps working — it is a recorded design study
+    assert validate(cfg, backend='cpu') is cfg
+    assert validate(Config(), backend='tpu') is not None

@@ -166,3 +166,21 @@ def test_dryrun_multichip_full_train_step():
 # NOTE: __graft_entry__.entry() is the FULL-SIZE generator — compiling it on
 # the CPU test backend takes minutes, so the driver's own single-chip
 # compile check covers it rather than this suite.
+
+
+def test_balanced_host_slices():
+    """LPT interval balancing: disjoint-complete with near-equal window
+    totals (VERDICT r3 item 3)."""
+    from a2m.parallel import balanced_host_slices
+    ids = [f'i{k}' for k in range(9)]
+    weights = [100, 90, 10, 10, 10, 10, 10, 10, 10]
+    slices = balanced_host_slices(ids, weights, 2)
+    assert len(slices) == 2
+    flat = sorted(slices[0] + slices[1])
+    assert flat == sorted(ids)                            # disjoint-complete
+    w = {i: wt for i, wt in zip(ids, weights)}
+    totals = [sum(w[i] for i in s) for s in slices]
+    # striding would give 140 vs 120; LPT lands 130/130
+    assert abs(totals[0] - totals[1]) <= 10
+    # deterministic: every host computes the same assignment
+    assert balanced_host_slices(ids, weights, 2) == slices
