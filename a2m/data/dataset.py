@@ -73,6 +73,42 @@ def read_text_meta(path2h5):
             f'datasets {required}')
 
 
+def write_text_meta(path2h5, df, force_plain: bool = False) -> str:
+    """Write a word-alignment table (columns ``start_frame``, ``end_frame``,
+    ``Word``) as ``text/meta`` — the write-path counterpart of
+    :func:`read_text_meta` (the reference dataset ships these tables
+    pre-built and only reads them, dataUtils.py:544-548).
+
+    When pytables is importable this writes the reference's exact on-disk
+    format (``pd.DataFrame.to_hdf(key='text/meta', format='table')``), so
+    data produced here is readable by the reference's loader unchanged.
+    Without pytables (this image) it writes the equivalent plain-h5 layout
+    ``text/meta/{start_frame, end_frame, Word}`` that :func:`read_text_meta`
+    also accepts.  Returns the format written ('pandas' or 'plain').
+    """
+    import pandas as pd
+    df = pd.DataFrame(df)
+    if not force_plain:
+        try:
+            import tables  # noqa: F401 -- availability probe
+            df.to_hdf(str(path2h5), key='text/meta', mode='a',
+                      format='table')
+            return 'pandas'
+        except ImportError:
+            pass
+    with hdf5_io.h5_open(path2h5, 'a') as h5:
+        if 'text/meta' in h5:
+            del h5['text/meta']
+        h5.create_dataset('text/meta/start_frame',
+                          data=np.asarray(df['start_frame'], np.int64))
+        h5.create_dataset('text/meta/end_frame',
+                          data=np.asarray(df['end_frame'], np.int64))
+        h5.create_dataset(
+            'text/meta/Word',
+            data=np.array([str(w) for w in df['Word']], dtype='S16'))
+    return 'plain'
+
+
 class IntervalData:
     """One interval's .h5 -> in-memory float32 arrays + sliding windows
     (reference MiniData, dataUtils.py:510-729)."""

@@ -102,8 +102,8 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
     trained model can beat the mean-pose predictor on PCK.
 
     ``with_text`` writes word-piecewise-constant ``text/{w2v,bert,tokens}``
-    plus the ``text/meta`` alignment table (plain-h5 layout, see
-    :func:`a2m.data.dataset.read_text_meta`).  ``with_norm_stats`` writes
+    plus the ``text/meta`` alignment table (via
+    :func:`a2m.data.dataset.write_text_meta`).  ``with_norm_stats`` writes
     cached ``pose/norm_stats/{mean,std}`` (reference dataUtils.py:563-582).
     """
     n_pose = int(duration_s * constants.POSE_FPS)
@@ -199,10 +199,12 @@ def synth_interval(path2h5, duration_s: float, rng: np.random.Generator,
             h5.create_dataset('text/w2v', data=w2v)
             h5.create_dataset('text/bert', data=bert)
             h5.create_dataset('text/tokens', data=tokens)
-            h5.create_dataset('text/meta/start_frame', data=bounds[:-1])
-            h5.create_dataset('text/meta/end_frame', data=bounds[1:])
-            h5.create_dataset('text/meta/Word',
-                              data=np.array(words, dtype='S16'))
+    if with_text:
+        # via the public write path (pandas-HDF when pytables exists,
+        # plain-h5 here) so fixtures exercise what users write
+        from a2m.data.dataset import write_text_meta
+        write_text_meta(path2h5, dict(start_frame=bounds[:-1],
+                                      end_frame=bounds[1:], Word=words))
 
 
 def make_synthetic_pats(root, speakers=('oliver', 'noah'),

@@ -14,6 +14,8 @@ time is reported separately (Mosaic compiles are slow on this backend).
 ``fgeval`` (e.g. f32_fgeval) enables train.fused_gcn_eval instead: the
 hybrid split — fused eval kernel only in d_step's no-grad fake generation
 and eval, XLA backward in g_step.  ``rolled`` adds rolled-head kernels.
+``rematdots`` / ``rematfull`` set train.remat (g_step loss-forward
+rematerialization — a bandwidth-for-FLOPs trade on the memory-bound step).
 """
 
 from __future__ import annotations
@@ -56,6 +58,10 @@ def run_variant(name: str) -> dict:
         g_kwargs['fused_gcn'] = True
     if 'rolled' in name:            # e.g. f32_fused_rolled — rolled-head
         g_kwargs['fused_rolled'] = True   # kernels (faster Mosaic compile)
+    if 'rematdots' in name:
+        train_kwargs['remat'] = 'dots'
+    elif 'rematfull' in name:
+        train_kwargs['remat'] = 'full'
     g_cfg = GeneratorConfig(**g_kwargs)
     d_cfg = DiscriminatorConfig(
         **({'dropout': drop} if drop is not None else {}))

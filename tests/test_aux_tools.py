@@ -178,6 +178,42 @@ def test_eval_harness_synthetic(pats_root):
     assert np.isfinite(out['l2'])
 
 
+def test_eval_harness_uses_shipped_stats(pats_root, tmp_path, monkeypatch):
+    """A checkpoint saved with training stats is denormalized with THOSE
+    stats — the harness must not recompute from the eval loader's train
+    split (the reference's generate_motion_video.py:240-243 flaw)."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import Config, GeneratorConfig
+    from a2m.eval import evaluate_speaker
+    from a2m.eval import harness as harness_mod
+    from a2m.models import Generator
+    from a2m.train.checkpoint import CheckpointManager
+    from a2m.train.train_step import NetState
+
+    cfg = Config(generator=GeneratorConfig(in_channels=16, out_channels=16,
+                                           joint_feat_dim=8, gat_heads=2))
+    g = Generator(cfg.generator)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(g.init)({'params': key, 'dropout': key},
+                                jnp.zeros((1, 64, 128), jnp.float32))
+    state = NetState(variables['params'], variables.get('batch_stats', {}),
+                     None)
+    mean = np.linspace(-3, 3, 104).astype(np.float32)
+    std = np.full(104, 2.5, np.float32)
+    mgr = CheckpointManager(tmp_path / 'ckpt')
+    mgr.save_best_generator(state, mean, std)
+
+    def _no_recompute(*a, **k):
+        raise AssertionError('harness recomputed stats despite the '
+                             'checkpoint shipping them')
+
+    monkeypatch.setattr(harness_mod, 'get_mean_std_necksub', _no_recompute)
+    out = evaluate_speaker(pats_root, 'oliver', tmp_path / 'ckpt',
+                           batch_size=8, cfg=cfg, max_batches=1)
+    assert np.isfinite(out['l2'])
+
+
 def test_eval_harness_multi_alpha(pats_root):
     """One inference pass scores every requested PCK alpha; tighter alpha
     can only lower the score."""

@@ -372,6 +372,32 @@ def test_text_meta_reader(text_root):
     assert read_text_meta(bare) is None
 
 
+def test_text_meta_write_roundtrip(tmp_path):
+    """write_text_meta -> read_text_meta roundtrip through the public write
+    path (pandas-HDF when pytables exists, plain-h5 fallback here)."""
+    from a2m.data.dataset import read_text_meta, write_text_meta
+    from a2m.data.synthetic import synth_interval
+    fp = tmp_path / 'wt.h5'
+    synth_interval(fp, 6.0, np.random.default_rng(0), with_text=False)
+    table = dict(start_frame=np.array([0, 30, 60]),
+                 end_frame=np.array([30, 60, 90]),
+                 Word=['hello', 'um', 'world'])
+    fmt = write_text_meta(fp, table)
+    assert fmt in ('pandas', 'plain')
+    df = read_text_meta(fp)
+    np.testing.assert_array_equal(df['start_frame'], table['start_frame'])
+    np.testing.assert_array_equal(df['end_frame'], table['end_frame'])
+    assert list(df['Word']) == table['Word']
+    # overwrite replaces, not appends
+    table2 = dict(start_frame=np.array([0]), end_frame=np.array([90]),
+                  Word=['only'])
+    write_text_meta(fp, table2)
+    assert list(read_text_meta(fp)['Word']) == ['only']
+    # force_plain exercises the fallback layout explicitly
+    write_text_meta(fp, table, force_plain=True)
+    assert len(read_text_meta(fp)) == 3
+
+
 def test_text_meta_malformed_raises(text_root, tmp_path):
     from a2m.data import read_text_meta
     bad = tmp_path / 'bad_meta.h5'
