@@ -121,7 +121,10 @@ def config3_train_step(batch: int = 128, steps: int = 10,
     audio = jnp.asarray(rng.standard_normal((batch, 64, 128)), jnp.float32)
     pose = jnp.asarray(rng.standard_normal((batch, 64, 104)), jnp.float32)
     mean, std = jnp.zeros(104), jnp.ones(104)
-    key = jax.random.PRNGKey(1)
+    # mirror the Trainer's production RNG auto-select (hardware 'rbg' on a
+    # real TPU: -4.9 ms/g_step vs threefry, scripts/step_time_ablation.py)
+    key = (jax.random.key(1, impl='rbg')
+           if jax.default_backend() == 'tpu' else jax.random.PRNGKey(1))
 
     # the evolving g_state/d_state chain gives every iteration distinct
     # inputs (defeats the backend's execution cache); float() is the only

@@ -18,7 +18,7 @@ as JSON and written to ``<save>/campaign_summary.json``.
 Usage::
 
     python scripts/full_training_campaign.py [epochs] [--fresh] [--env] \
-        [--tag NAME] [key.path=value ...]
+        [--tag NAME] [--seed N] [key.path=value ...]
 
 Default fixtures are ``deterministic`` (pose a deterministic function of the
 mel bands — absolute positions learnable, so PCK can beat the mean-pose
@@ -115,7 +115,7 @@ def instrument_controller(ctrl, events: list):
     return state
 
 
-def main(epochs: int = 80, fresh: bool = False) -> None:
+def main(epochs: int = 80, fresh: bool = False, seed: int = 0) -> None:
     if fresh and (ROOT / 'save').exists():
         shutil.rmtree(ROOT / 'save')
     data = build_dataset()
@@ -153,7 +153,7 @@ def main(epochs: int = 80, fresh: bool = False) -> None:
     print(f'train batches/epoch: {len(dl.train)}  dev: {len(dl.dev)}  '
           f'test: {len(dl.test)}', flush=True)
 
-    trainer = Trainer(cfg, dl)
+    trainer = Trainer(cfg, dl, seed=seed)
     events: list[dict] = []
     skip_state = instrument_controller(trainer.controller, events)
 
@@ -221,6 +221,11 @@ if __name__ == '__main__':
         i = argv.index('--tag')
         tag = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    seed = 0
+    if '--seed' in argv:                 # training RNG (model init, dropout,
+        i = argv.index('--seed')         # label noise, data shuffle chain)
+        seed = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith('--')]
     OVERRIDES = [a for a in args if '=' in a]
     args = [a for a in args if '=' not in a]
@@ -228,4 +233,4 @@ if __name__ == '__main__':
         MODE = 'env'
     ROOT = pathlib.Path(f'/tmp/a2m_campaign_{MODE}' + (f'_{tag}' if tag
                                                        else ''))
-    main(int(args[0]) if args else 80, fresh='--fresh' in argv)
+    main(int(args[0]) if args else 80, fresh='--fresh' in argv, seed=seed)

@@ -71,7 +71,7 @@ def run_variant(name: str) -> dict:
                          batch_size=batch)
     g_step, d_step, _ = make_train_steps(g_model, d_model,
                                          TrainConfig(**train_kwargs),
-                                         donate=False)
+                                         donate='donate' in name)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, 64, 128)), jnp.float32)
     pose = jnp.asarray(rng.standard_normal((batch, 64, 104)) * 10 + 300,
@@ -84,34 +84,40 @@ def run_variant(name: str) -> dict:
     # (true data dependency) and sync via float() on the final metric:
     # wall / n == sustained per-step time, the number training achieves.
     compile_wall = {}
+    # donated variants invalidate input buffers — give each timing loop its
+    # own deep copies so gs/ds stay valid for the other loop
+    fresh = ((lambda s: jax.tree.map(jnp.array, s)) if 'donate' in name
+             else (lambda s: s))
 
     def timed_g(n=30):
+        g0, d0 = fresh(gs), fresh(ds)
         t_c = time.perf_counter()
-        g, nd, gm = g_step(gs, ds, audio, pose, mean, std, 0.93, 0.01, key)
+        g, nd, gm = g_step(g0, d0, audio, pose, mean, std, 0.93, 0.01, key)
         float(gm['g_loss'])              # compile + drain
         compile_wall['g_s'] = round(time.perf_counter() - t_c, 1)
         t0 = time.perf_counter()
         for _ in range(n):
-            g, nd, gm = g_step(g, ds, audio, pose, mean, std, 0.93, 0.01,
+            g, nd, gm = g_step(g, d0, audio, pose, mean, std, 0.93, 0.01,
                                key)
         float(gm['g_loss'])
         return (time.perf_counter() - t0) / n
 
     def timed_d(n=30):
-        d, g2, dm = d_step(gs, ds, audio, pose, mean, std, 0.93, 0.07, 0.01,
+        g0, d0 = fresh(gs), fresh(ds)
+        d, g2, dm = d_step(g0, d0, audio, pose, mean, std, 0.93, 0.07, 0.01,
                            key)
         float(dm['d_loss'])
         t0 = time.perf_counter()
         for _ in range(n):
-            d, g2, dm = d_step(gs, d, audio, pose, mean, std, 0.93, 0.07,
+            d, g2, dm = d_step(g0, d, audio, pose, mean, std, 0.93, 0.07,
                                0.01, key)
         float(dm['d_loss'])
         return (time.perf_counter() - t0) / n
 
     g_s = timed_g()
     d_s = timed_d()
-    g_fl = mfu_lib.compiled_flops(g_step, gs, ds, audio, pose, mean, std,
-                                  0.93, 0.01, key)
+    g_fl = mfu_lib.compiled_flops(g_step, fresh(gs), fresh(ds), audio, pose,
+                                  mean, std, 0.93, 0.01, key)
     return dict(variant=name, batch=batch, compile_wall_s=compile_wall,
                 g_ms=round(g_s * 1e3, 1), d_ms=round(d_s * 1e3, 1),
                 g_tflop=round((g_fl or 0) / 1e12, 2),
