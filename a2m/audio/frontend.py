@@ -298,7 +298,14 @@ def log_mel(y: jnp.ndarray, spec: MelSpec, exact: bool = True,
     <=1e-5 parity with the float64 golden; ``exact=False`` single-f32 fast path.
     """
     mats = dft_matrices(spec)
-    y = y.astype(jnp.float32)
+    if jnp.issubdtype(y.dtype, jnp.integer):
+        # PCM ingest: integer samples are scaled to [-1, 1) on DEVICE, so
+        # serving can ship int16 wire format (half the host->device bytes of
+        # f32).  Scale matches librosa.util.buf_to_float (1 / 2^(bits-1)) —
+        # the reference's wav load path (pats/data_loading/audio.py:80-90).
+        y = y.astype(jnp.float32) / np.float32(np.iinfo(y.dtype).max + 1)
+    else:
+        y = y.astype(jnp.float32)
     if spec.center:
         y = _pad_centered(y, spec.n_fft, spec.pad_mode)
     if n_frames is None:

@@ -72,16 +72,22 @@ def _stream_windows(features: np.ndarray, window: int, hop: int
 def _batched_forward(apply, variables, windows: np.ndarray,
                      batch_size: int) -> np.ndarray:
     """Run a (W, window, F) window stack through the compiled forward in
-    fixed-size chunks (one static-shape executable regardless of W)."""
-    preds = []
+    fixed-size chunks (one static-shape executable regardless of W).
+
+    All chunks are DISPATCHED before any device->host transfer: jax's async
+    dispatch pipelines the chunk executions, so the per-call round-trip
+    latency (23 ms on the tunneled sandbox backend) is paid once, not per
+    chunk."""
+    outs, counts = [], []
     for i in range(0, len(windows), batch_size):
         chunk = windows[i:i + batch_size]
         n = len(chunk)
         if n < batch_size:
             chunk = np.pad(chunk, ((0, batch_size - n), (0, 0), (0, 0)))
-        out = np.asarray(apply(variables, jnp.asarray(chunk, jnp.float32)))
-        preds.append(out[:n])
-    return np.concatenate(preds, axis=0)
+        outs.append(apply(variables, jnp.asarray(chunk, jnp.float32)))
+        counts.append(n)
+    return np.concatenate([np.asarray(o)[:n] for o, n in zip(outs, counts)],
+                          axis=0)
 
 
 def stream_poses(generator, variables, features: np.ndarray,
@@ -125,8 +131,7 @@ def stream_poses_multi(generator, variables, features_list,
     return out
 
 
-def _waveform_features(waveform: np.ndarray, sr: int,
-                       method: str = 'log_mel_512') -> np.ndarray:
+def _pose_rate_spec(sr: int, method: str = 'log_mel_512'):
     from a2m.audio import frontend
     if method != 'log_mel_512':
         raise ValueError('streaming currently supports log_mel_512')
@@ -134,16 +139,111 @@ def _waveform_features(waveform: np.ndarray, sr: int,
     stride = round(fs / constants.POSE_FPS)
     # stride folded into the hop: compute only pose-rate frames (equal to
     # [::stride] of the full 89 Hz grid, 6x less frontend work)
-    spec = frontend.strided_spec(frontend.spec_log_mel_512(sr), stride)
+    return frontend.strided_spec(frontend.spec_log_mel_512(sr), stride)
+
+
+def _waveform_features(waveform: np.ndarray, sr: int,
+                       method: str = 'log_mel_512') -> np.ndarray:
+    from a2m.audio import frontend
     return np.asarray(frontend.log_mel(
-        jnp.asarray(np.asarray(waveform, np.float32)), spec, exact=False))
+        jnp.asarray(waveform), _pose_rate_spec(sr, method), exact=False))
+
+
+def _waveform_features_grouped(waveforms, sr: int,
+                               method: str = 'log_mel_512') -> list:
+    """Feature extraction for S streams with as few device calls as
+    possible: streams of equal sample count share ONE batched log_mel call
+    (equal-length grouping keeps the centered reflect padding exact — zero-
+    padding unequal streams to a common length would perturb their last
+    window)."""
+    from a2m.audio import frontend
+    spec = _pose_rate_spec(sr, method)
+    groups: dict[int, list[int]] = {}
+    for i, w in enumerate(waveforms):
+        groups.setdefault(int(np.shape(w)[-1]), []).append(i)
+    feats: list = [None] * len(waveforms)
+    outs = []
+    for idxs in groups.values():
+        stack = jnp.stack([jnp.asarray(waveforms[i]) for i in idxs])
+        outs.append((idxs, frontend.log_mel(stack, spec, exact=False)))
+    for idxs, out in outs:               # d2h after ALL dispatches
+        out = np.asarray(out)
+        for j, i in enumerate(idxs):
+            feats[i] = out[j]
+    return feats
+
+
+def _blend_matrix(starts: np.ndarray, n_frames: int,
+                  window: int) -> np.ndarray:
+    """The host-side :func:`blend` overlap-add as ONE static (T, W*window)
+    matrix: ``out = M @ pred.reshape(W*window, F)``.  Triangular crossfade
+    weights with the per-frame normalization folded in, so the whole blend
+    becomes a single MXU matmul inside the fused pipeline."""
+    w = np.minimum(np.arange(1, window + 1),
+                   np.arange(window, 0, -1)).astype(np.float64)
+    m = np.zeros((n_frames, len(starts) * window))
+    for wi, s in enumerate(starts):
+        n = min(window, n_frames - int(s))
+        rows = np.arange(s, s + n)
+        m[rows, wi * window + np.arange(n)] = w[:n]
+    m /= np.maximum(m.sum(axis=1, keepdims=True), 1e-9)
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_pipeline(generator, sr: int, method: str, n_samples: int,
+                    window: int, hop: int):
+    """ONE jitted device program per (S is dynamic via shape, n_samples):
+    (S, n_samples) waveforms -> (S, T, 104) poses.
+
+    Frontend, static-index windowing, generator forward (batch S*W), and
+    the crossfade blend (as a precomputed matmul, :func:`_blend_matrix`)
+    all run on-device in a single call — no per-stage host round trips.
+    This is the serving path: on the tunneled sandbox backend each synced
+    call costs ~23 ms RTT and intermediate d2h/h2d rides a ~35 MB/s link,
+    so collapsing frontend->windows->forward->blend into one program is
+    worth more than any kernel-level win (measured: 8x60 s streams went
+    from 3.22 s chunked-with-host-blend to one call + one (S,T,104) d2h).
+    """
+    from a2m.audio import frontend
+
+    spec = _pose_rate_spec(sr, method)
+    t = jax.eval_shape(
+        lambda y: frontend.log_mel(y, spec, exact=False),
+        jax.ShapeDtypeStruct((n_samples,), jnp.float32)).shape[0]
+    starts = window_starts(t, window, hop)
+    idx = np.minimum(starts[:, None] + np.arange(window)[None, :], t - 1)
+    blend_m = jnp.asarray(_blend_matrix(starts, t, window))
+    idx = jnp.asarray(idx)
+
+    @jax.jit
+    def run(variables, waves):
+        feats = frontend.log_mel(waves, spec, exact=False)   # (S, T, 128)
+        wins = jnp.take(feats, idx, axis=1)          # (S, W, window, 128)
+        s, w_n = wins.shape[0], wins.shape[1]
+        pred = generator.apply(
+            variables, wins.reshape(s * w_n, window, feats.shape[-1]),
+            train=False)                              # (S*W, window, 104)
+        flat = pred.reshape(s, w_n * window, pred.shape[-1])
+        return jnp.einsum('tk,skf->stf', blend_m, flat)      # (S, T, 104)
+
+    return run
 
 
 def stream_from_waveform(generator, variables, waveform: np.ndarray,
                          sr: int, method: str = 'log_mel_512',
-                         hop: int = 32, batch_size: int = 64) -> np.ndarray:
+                         hop: int = 32, batch_size: int = 64,
+                         fused: bool = False) -> np.ndarray:
     """Raw audio of any length -> (T_pose, 104) pose via the TPU frontend +
-    windowed generator."""
+    windowed generator.
+
+    ``fused=False`` (default) chunks windows through ONE compiled forward
+    regardless of audio length; ``fused=True`` compiles one whole-pipeline
+    program per waveform length (fastest for a recurring length, e.g.
+    fixed-duration serving chunks — see :func:`_fused_pipeline`)."""
+    if fused:
+        return stream_from_waveforms(generator, variables, [waveform], sr,
+                                     method, hop, batch_size, fused=True)[0]
     feats = _waveform_features(waveform, sr, method)
     return stream_poses(generator, variables, feats, hop=hop,
                         batch_size=batch_size)
@@ -151,9 +251,26 @@ def stream_from_waveform(generator, variables, waveform: np.ndarray,
 
 def stream_from_waveforms(generator, variables, waveforms, sr: int,
                           method: str = 'log_mel_512', hop: int = 32,
-                          batch_size: int = 64) -> list[np.ndarray]:
-    """S raw audio streams (any, possibly different, lengths) -> S pose
-    streams through one shared window batch (see stream_poses_multi)."""
-    feats = [_waveform_features(w, sr, method) for w in waveforms]
+                          batch_size: int = 64,
+                          fused: str | bool = 'auto') -> list[np.ndarray]:
+    """S raw audio streams -> S pose streams.
+
+    ``fused='auto'`` (default): when every stream has the same sample
+    count — the common serving shape — the whole batch runs as ONE device
+    program (frontend + windows + forward + blend, :func:`_fused_pipeline`);
+    otherwise streams group into per-length batched frontend calls and
+    share one chunked window batch (:func:`stream_poses_multi`).  Waveforms
+    may be int16 PCM (scaled on device) and may already live on device."""
+    window = constants.FRAMES_PER_WINDOW
+    lens = {int(np.shape(w)[-1]) for w in waveforms}
+    if fused is True or (fused == 'auto' and len(lens) == 1):
+        if len(lens) != 1:
+            raise ValueError('fused=True needs equal-length streams; got '
+                             f'lengths {sorted(lens)}')
+        run = _fused_pipeline(generator, sr, method, lens.pop(), window, hop)
+        out = np.asarray(run(variables,
+                             jnp.stack([jnp.asarray(w) for w in waveforms])))
+        return list(out)
+    feats = _waveform_features_grouped(waveforms, sr, method)
     return stream_poses_multi(generator, variables, feats, hop=hop,
                               batch_size=batch_size)

@@ -336,6 +336,59 @@ def test_legacy_speaker_stats_decode(rng):
     assert dec.shape == (4, 2, 49)
 
 
+def test_fused_stream_matches_chunked(rng):
+    """The one-call fused pipeline (frontend + windowing + forward + blend
+    matmul on device) reproduces the chunked host-blend path, for f32 AND
+    int16 PCM ingest (int16 is scaled to [-1,1) on device)."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import stream_from_waveform, stream_from_waveforms
+    from a2m.models import Generator
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    sr = 45600
+    n = int(sr * 6.0)                       # ~83 pose frames, 3 windows
+    waves = [(rng.standard_normal(n) * 0.1).astype(np.float32)
+             for _ in range(3)]
+    fused = stream_from_waveforms(g, v, waves, sr)   # auto -> fused
+    for w, f in zip(waves, fused):
+        single = stream_from_waveform(g, v, w, sr, batch_size=8)
+        assert f.shape == single.shape
+        np.testing.assert_allclose(f, single, atol=2e-4)
+    # int16 PCM wire format: quantize, ingest, compare vs its f32 equivalent
+    w16 = (waves[0] * 32768.0).astype(np.int16)
+    f16 = stream_from_waveform(g, v, w16, sr, fused=True)
+    f32 = stream_from_waveform(g, v, w16.astype(np.float32) / 32768.0, sr,
+                               fused=True)
+    np.testing.assert_allclose(f16, f32, atol=1e-5)
+
+
+def test_stream_waveforms_unequal_lengths_grouped(rng):
+    """Unequal-length streams fall back to per-length grouped frontend
+    calls + one shared chunked window batch, matching per-stream results."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import stream_from_waveform, stream_from_waveforms
+    from a2m.models import Generator
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    sr = 45600
+    waves = [(rng.standard_normal(int(sr * s)) * 0.1).astype(np.float32)
+             for s in (6.0, 4.5, 6.0)]     # two share a length group
+    multi = stream_from_waveforms(g, v, waves, sr, batch_size=8)
+    for w, m in zip(waves, multi):
+        single = stream_from_waveform(g, v, w, sr, batch_size=8)
+        np.testing.assert_allclose(m, single, atol=1e-5)
+
+
 def test_streaming_apply_is_cached(rng):
     """Repeated stream_poses calls reuse one compiled apply (VERDICT r1 #7:
     a fresh jax.jit per call recompiled the generator every invocation)."""
