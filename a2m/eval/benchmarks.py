@@ -253,6 +253,31 @@ def config6_streaming(seconds: float = 60.0) -> dict:
     t0 = time.perf_counter()
     poses = streaming.stream_from_waveforms(g, v, waves_b, SR)
     dt_multi = time.perf_counter() - t0
+
+    # Device-resident serving throughput.  multi_wall_s above is dominated
+    # by host->device waveform bytes over this sandbox's ~35 MB/s tunnel
+    # transport (8 x 60 s x 45.6 kHz f32 = 87 MB ≈ 2.5 s) — an artifact of
+    # the remote backend, not the chip (production hosts feed TPUs over
+    # PCIe DMA at GB/s).  Time the fused frontend->forward->blend program
+    # with the stream batch already on device: inputs varied per iteration
+    # through an on-device carry (execution-cache gotcha) and synced by a
+    # 1-element d2h (block_until_ready is a no-op on axon).
+    from a2m import constants
+    wd = jax.device_put(np.stack(waves_b))                  # (S, N) f32
+    run = streaming._fused_pipeline(g, SR, 'log_mel_512', wd.shape[1],
+                                    constants.FRAMES_PER_WINDOW, 32)
+    vary = jax.jit(lambda w, c: w + c)
+    out = run(v, vary(wd, jnp.float32(1e-4)))
+    # warm ALL executables the timed loop uses (incl. the tiny eager
+    # gather/mul/add of the carry) and sync via d2h
+    float(out[0, 0, 0] * 1e-6 + np.float32(1e-4))
+    iters, c = 5, jnp.float32(2e-4)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(v, vary(wd, c))
+        c = out[0, 0, 0] * 1e-6 + np.float32((i + 3) * 1e-4)
+    float(c)
+    dt_dev = (time.perf_counter() - t0) / iters
     return dict(config='streaming', audio_seconds=seconds,
                 pose_frames=int(pose.shape[0]), wall_s=dt,
                 realtime_factor=seconds / dt,
@@ -260,7 +285,10 @@ def config6_streaming(seconds: float = 60.0) -> dict:
                 n_streams=n_streams, multi_wall_s=dt_multi,
                 multi_aggregate_realtime=n_streams * seconds / dt_multi,
                 multi_per_stream_realtime=seconds / dt_multi,
-                multi_streams_ok=len(poses) == n_streams)
+                multi_streams_ok=len(poses) == n_streams,
+                multi_h2d_mb=round(wd.size * 4 / 1e6, 1),
+                multi_device_wall_s=dt_dev,
+                multi_device_aggregate_realtime=n_streams * seconds / dt_dev)
 
 
 ALL = {1: config1_single_clip, 2: config2_batched_features,
