@@ -55,6 +55,12 @@ class DataConfig:
     # process_count=-1 resolves both from jax.process_index()/count()
     process_index: int | None = None
     process_count: int | None = None
+    # a2m extension (off = reference parity): bounded-RAM data loading.
+    # The reference holds every interval in RAM (dataUtils.py:530-540 —
+    # tens of GB at real-PATS scale); lazy mode reads shape metadata at
+    # startup and window payloads through a bounded LRU at access time
+    # (a2m/data/dataset.py::_lazy_interval_array)
+    lazy_intervals: bool = False
     # a2m extension (off = reference parity): drift-free windowing.  The
     # reference's stride-slicing resample drifts k/267 s per window between
     # the 89 Hz mel grid and 15 fps pose (LEARNING.md "fixture drift");
@@ -263,6 +269,32 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class DistConfig:
+    """Multi-process (multi-host) runtime bootstrap.
+
+    The reference is strictly single-process/single-GPU
+    (`version5_model_train.py:256-282`); the TPU-native equivalent of a
+    comm backend is ``jax.distributed.initialize`` + a global mesh
+    (SURVEY.md §2.5).  Configure either via CLI overrides::
+
+        python -m a2m.train dist.coordinator=10.0.0.1:8476 \
+            dist.num_processes=2 dist.process_id=0 mesh.data=-1
+
+    or via env (``A2M_COORDINATOR`` / ``A2M_NUM_PROCESSES`` /
+    ``A2M_PROCESS_ID`` — one launch command for every process), or
+    ``dist.auto=true`` on TPU pods where jax infers everything from the
+    runtime.  When active, :class:`~a2m.train.loop.Trainer` meshes over all
+    global devices, the loader feeds per-process interval slices
+    (``data.process_index/-count``), and every batch is assembled into a
+    global array — ``data.batch_size`` stays the PER-PROCESS batch size.
+    """
+    coordinator: str = ''      # 'host:port' of process 0; '' = single-process
+    num_processes: int = 0     # total process count (0 = from env / auto)
+    process_id: int = -1       # this process's id (-1 = from env / auto)
+    auto: bool = False         # bare jax.distributed.initialize() (TPU pods)
+
+
+@dataclass(frozen=True)
 class Config:
     audio: AudioConfig = field(default_factory=AudioConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -270,6 +302,7 @@ class Config:
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
 
 
 #: validation metrics the eval step reports (train.best_metric choices)

@@ -49,10 +49,15 @@ def get_mean_std(batcher, key: str = 'pose/data'
     return mean.astype(np.float32), std.astype(np.float32)
 
 
-def get_mean_std_necksub(batcher, key: str = 'pose/data'
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """Neck-subtracted mean/std with neck std pinned to 1 (reference
-    normalization_tools.py:24-45)."""
+def get_moments_necksub(batcher, key: str = 'pose/data'
+                        ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Summable neck-subtracted moments ``(mean_sum, sq_sum, batch_num)``.
+
+    The reference's estimator (normalization_tools.py:24-45) is a plain sum
+    of per-batch moments divided by the batch count — so per-host partial
+    sums from disjoint data slices combine exactly by addition
+    (:func:`a2m.parallel.launch.sync_global_moments` uses this for
+    multi-process training)."""
     mean_sum = np.zeros(constants.POSE_FEATS, dtype=np.float64)
     sq_sum = np.zeros(constants.POSE_FEATS, dtype=np.float64)
     batch_num = 0
@@ -63,12 +68,26 @@ def get_mean_std_necksub(batcher, key: str = 'pose/data'
         pose = neck_subtract(pose)
         mean_sum += pose.mean(axis=(0, 1))
         sq_sum += (pose.astype(np.float64) ** 2).mean(axis=(0, 1))
-    mean = mean_sum / batch_num
-    std = np.sqrt(np.maximum(sq_sum / batch_num - mean ** 2, 0.0))
+    return mean_sum, sq_sum, batch_num
+
+
+def finalize_moments_necksub(mean_sum, sq_sum, batch_num
+                             ) -> tuple[np.ndarray, np.ndarray]:
+    """Moments -> (mean, std) with the neck std pinned to 1."""
+    mean = np.asarray(mean_sum) / batch_num
+    std = np.sqrt(np.maximum(np.asarray(sq_sum) / batch_num - mean ** 2,
+                             0.0))
     # neck x/y stats are exactly 0 after subtraction; pin std to 1
     std[0] = 1.0
     std[constants.NUM_JOINTS] = 1.0
     return mean.astype(np.float32), std.astype(np.float32)
+
+
+def get_mean_std_necksub(batcher, key: str = 'pose/data'
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Neck-subtracted mean/std with neck std pinned to 1 (reference
+    normalization_tools.py:24-45)."""
+    return finalize_moments_necksub(*get_moments_necksub(batcher, key))
 
 
 def normalize_pose(pose, mean, std):

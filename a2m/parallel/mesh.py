@@ -114,6 +114,34 @@ def replicate_states(states, mesh: Mesh):
     return jax.device_put(states, replicated(mesh))
 
 
+def global_put(tree, shardings):
+    """Place host arrays as global jax.Arrays WITHOUT cross-process value
+    verification.
+
+    ``jax.device_put`` onto a sharding that spans processes runs a hidden
+    ``multihost_utils.assert_equal`` — one eager Gloo allgather PER LEAF
+    (jax dispatch.py::_device_put_sharding_impl).  For a parameter tree
+    that is hundreds of collectives whose per-process compile skew can
+    blow Gloo's 30 s context-init deadline (observed in the 2-process CPU
+    integration run).  Training state is replicated-by-construction here
+    (same seed, same checkpoint), so placement uses
+    ``make_array_from_callback`` — zero communication, each process
+    supplying its local shards.  ``shardings`` is a matching tree or a
+    single sharding applied to every leaf.
+    """
+    import jax.tree_util as jtu
+    one = isinstance(shardings, (NamedSharding,))
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx: x[idx])
+
+    if one:
+        return jax.tree.map(lambda x: put(x, shardings), tree)
+    return jtu.tree_map(put, tree, shardings)
+
+
 def host_interval_slice(intervals: list, process_index: int | None = None,
                         process_count: int | None = None) -> list:
     """Multi-host data sharding: stride intervals across hosts over DCN so

@@ -19,6 +19,22 @@ from a2m.train.loop import Trainer
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     cfg = apply_overrides(Config(), [a for a in argv if '=' in a])
+    # multi-process bootstrap FIRST (jax.distributed.initialize must
+    # precede any backend use — a2m.parallel.launch).  When active, the
+    # loader switches to per-process interval slices unless the config
+    # already pins an explicit slice.
+    from a2m.parallel.launch import maybe_initialize
+    if maybe_initialize(cfg.dist):
+        import dataclasses
+
+        import jax
+        if cfg.data.process_count is None and cfg.data.process_index is None:
+            # -1 = resolve from jax.process_index()/process_count()
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, process_count=-1))
+        print(f'[dist] process {jax.process_index()}/{jax.process_count()} '
+              f'up: {jax.local_device_count()} local / '
+              f'{jax.device_count()} global devices', flush=True)
     # every DataConfig field reaches the loader (drift-checked mapping)
     dl = loader_from_config(cfg.data, cfg.audio)
     trainer = Trainer(cfg, dl)

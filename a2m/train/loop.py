@@ -13,6 +13,7 @@ none).
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import time
 from pathlib import Path
 from typing import Callable
@@ -37,7 +38,29 @@ class Trainer:
         from a2m.config import validate as validate_config
         self.cfg = cfg = validate_config(cfg)
         self.dataloader = dataloader
-        self.log = log_fn
+        # multi-process runtime (jax.distributed — a2m.parallel.launch):
+        # only process 0 narrates; every process runs the same global
+        # program, so the suppressed lines would be exact duplicates
+        self.n_proc = jax.process_count()
+        if self.n_proc > 1 and jax.process_index() != 0:
+            # A2M_DIST_DEBUG=1: prefix instead of suppress (skew debugging)
+            import os as _os
+            if _os.environ.get('A2M_DIST_DEBUG'):
+                _pid, _t0 = jax.process_index(), time.time()
+                self.log = lambda s: log_fn(
+                    f'[p{_pid} +{time.time() - _t0:.1f}s] {s}')
+            else:
+                self.log = lambda s: None
+        elif self.n_proc > 1:
+            import os as _os
+            if _os.environ.get('A2M_DIST_DEBUG'):
+                _t0 = time.time()
+                self.log = lambda s: log_fn(
+                    f'[p0 +{time.time() - _t0:.1f}s] {s}')
+            else:
+                self.log = log_fn
+        else:
+            self.log = log_fn
         import jax.numpy as _jnp
         compute_dtype = (_jnp.bfloat16 if cfg.train.compute_dtype == 'bf16'
                          else _jnp.float32)
@@ -58,6 +81,7 @@ class Trainer:
                     if rng_impl else jax.random.PRNGKey(seed))
 
         self.key, init_key = jax.random.split(self.key)
+        self.log('init: building model/optimizer states')
         self.g_state, self.d_state = init_states(
             self.g_model, self.d_model, init_key,
             batch_size=cfg.data.batch_size,
@@ -72,24 +96,60 @@ class Trainer:
         # 256-282); mesh.data=1 (default) keeps the single-device steps.
         self.mesh = None
         data_ax, model_ax = cfg.mesh.resolved_shape(jax.device_count())
+        if self.n_proc > 1:
+            # multi-process REQUIRES one global mesh over every device: jit
+            # in a multi-controller runtime is a collective program, and a
+            # 1x1 "mesh" would leave each process computing alone while the
+            # runtime expects them to rendezvous.  Default config silently
+            # upgrades to all-device data-parallel; an explicit partial
+            # mesh is a config error.
+            if data_ax * model_ax == 1:
+                data_ax, model_ax = jax.device_count(), 1
+                self.log(f'multi-process run: auto mesh {data_ax}x1')
+            if data_ax * model_ax != jax.device_count():
+                raise ValueError(
+                    f'multi-process run needs mesh covering all '
+                    f'{jax.device_count()} global devices, got '
+                    f'{data_ax}x{model_ax}; set mesh.data=-1')
+            if data_ax % self.n_proc:
+                raise ValueError(
+                    f'mesh data axis {data_ax} must divide evenly across '
+                    f'{self.n_proc} processes')
+            mesh_cfg = dataclasses.replace(cfg.mesh, data=data_ax,
+                                           model=model_ax)
+        else:
+            mesh_cfg = cfg.mesh
         if data_ax * model_ax > 1:
             from a2m.parallel import (make_mesh, make_sharded_train_steps,
                                       param_shardings, replicated)
-            if cfg.data.batch_size % data_ax:
+            # data.batch_size is per process: each process's loader yields
+            # its own local batch, assembled into a global array of
+            # batch_size * n_proc rows spread over the data axis
+            local_data_ax = data_ax // self.n_proc
+            if cfg.data.batch_size % local_data_ax:
                 raise ValueError(
-                    f'data.batch_size={cfg.data.batch_size} not divisible '
-                    f'by mesh data axis {data_ax}')
-            self.mesh = make_mesh(cfg.mesh)
+                    f'data.batch_size={cfg.data.batch_size} (per process) '
+                    f'not divisible by local mesh data share '
+                    f'{local_data_ax}')
+            self.mesh = make_mesh(mesh_cfg)
             tp = model_ax > 1
             rep = replicated(self.mesh)
+            # multi-process: device_put onto a cross-process sharding runs
+            # a hidden per-leaf assert_equal allgather — use the
+            # communication-free global_put (state is replicated by
+            # construction: same seed / same checkpoint on every process)
+            if self.n_proc > 1:
+                from a2m.parallel import global_put as put
+            else:
+                put = jax.device_put
 
             def place(state):
                 return state._replace(
-                    params=jax.device_put(
-                        state.params, param_shardings(state.params,
-                                                      self.mesh, tp)),
-                    batch_stats=jax.device_put(state.batch_stats, rep),
-                    opt_state=jax.device_put(state.opt_state, rep))
+                    params=put(state.params,
+                               param_shardings(state.params, self.mesh,
+                                               tp)),
+                    batch_stats=put(state.batch_stats, rep),
+                    opt_state=put(state.opt_state, rep))
 
             self._place_state = place
             self.g_state, self.d_state = place(self.g_state), place(
@@ -97,6 +157,14 @@ class Trainer:
             g_s, d_s, e_s = make_sharded_train_steps(
                 self.g_model, self.d_model, cfg.train, self.mesh,
                 tensor_parallel=tp)
+            if self.n_proc > 1:
+                # first-execution alignment: compile AOT, host-barrier,
+                # THEN execute, so per-process compile skew (minutes under
+                # cold caches / CPU contention) can never trip Gloo's 30 s
+                # collective-context deadline (a2m.parallel.launch)
+                g_s = self._align_first_call(g_s, 'g_step')
+                d_s = self._align_first_call(d_s, 'd_step')
+                e_s = self._align_first_call(e_s, 'eval_step')
             # the sharded steps take style/mask as explicit positionals
             # (in_shardings must match the positional arg count); adapt to
             # the Trainer's keyword calling convention
@@ -113,12 +181,25 @@ class Trainer:
                 self.g_model, self.d_model, cfg.train,
                 donate=cfg.train.donate_buffers)
 
+        self.log('init: states placed; computing normalization stats')
         # train-set normalization stats (reference
-        # version5_model_train.py:296; computed once, checkpointed)
-        mean, std = get_mean_std_necksub(dataloader.train)
+        # version5_model_train.py:296; computed once, checkpointed).  In a
+        # multi-process run each host sees only its interval slice, so the
+        # per-host partial moments are all-reduced to the exact global
+        # statistics before finalizing — every process MUST hold identical
+        # stats (they parameterize the jitted global program).
+        if self.n_proc > 1:
+            from a2m.data.normalization import (finalize_moments_necksub,
+                                                get_moments_necksub)
+            from a2m.parallel.launch import sync_global_moments
+            mean, std = finalize_moments_necksub(*sync_global_moments(
+                *get_moments_necksub(dataloader.train)))
+        else:
+            mean, std = get_mean_std_necksub(dataloader.train)
         self.mean = self._rep(mean)
         self.std = self._rep(std)
 
+        self.log('init: normalization stats ready')
         self.ckpt = ckpt_lib.CheckpointManager(
             Path(cfg.train.save_dir) / 'ckpt')
         self.start_epoch = 0
@@ -161,7 +242,7 @@ class Trainer:
         import numpy as _np
         import orbax.checkpoint as ocp
         p = Path(path)
-        best = ckpt_lib.load_generator_ckpt(p / 'best_gen', self.g_state)
+        best = ckpt_lib.load_any_generator_ckpt(p, self.g_state)
         if best is None:
             raise FileNotFoundError(
                 f'train.init_from: no best_gen checkpoint under {p}')
@@ -187,6 +268,28 @@ class Trainer:
             loaded += '+D'
         self.log(f'initialized {loaded} from {p}')
 
+    def _align_first_call(self, fn, name: str):
+        """Multi-process wrapper: AOT-compile on first call, barrier, run.
+
+        The compiled executable is kept and reused (shapes are static for
+        the whole run); anything that doesn't match its signature falls
+        back to the jitted ``fn``."""
+        from a2m.parallel.launch import host_barrier
+        holder: dict = {}
+
+        def wrapper(*args):
+            if 'compiled' not in holder:
+                self.log(f'{name}: compiling (pre-execution alignment)')
+                holder['compiled'] = fn.lower(*args).compile()
+                host_barrier(f'a2m_first_{name}')
+                self.log(f'{name}: all processes aligned; executing')
+            try:
+                return holder['compiled'](*args)
+            except TypeError:
+                return fn(*args)
+
+        return wrapper
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -194,16 +297,26 @@ class Trainer:
     def _rep(self, x):
         """Stage a replicated array (mesh-aware device placement)."""
         if self.mesh is not None:
-            from a2m.parallel import replicated
+            from a2m.parallel import global_put, replicated
+            if self.n_proc > 1:   # no hidden assert_equal collective
+                return global_put(np.asarray(x), replicated(self.mesh))
             return jax.device_put(jnp.asarray(x), replicated(self.mesh))
         return jnp.asarray(x)
 
     def _batch_put(self, x):
-        """Stage a batch array, sharded over the mesh data axis when on."""
+        """Stage a batch array, sharded over the mesh data axis when on.
+
+        Multi-process: the local batch is this process's shard of the
+        global batch — ``make_array_from_process_local_data`` assembles the
+        global jax.Array (global batch = local x n_proc) without any
+        cross-host data movement."""
         if x is None:
             return None
         if self.mesh is not None:
             from a2m.parallel import batch_sharding
+            if self.n_proc > 1:
+                return jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh), np.asarray(x))
             return jax.device_put(jnp.asarray(x), batch_sharding(self.mesh))
         return jnp.asarray(x)
 
@@ -444,6 +557,11 @@ class Trainer:
     def save_best(self, epoch: int, val: dict[str, float]) -> None:
         self.loss_history.setdefault('best_score', []).append(
             self.best_score(val))
+        # multi-process: EVERY process must enter the save — orbax
+        # coordinates its own cross-process barriers and writes from the
+        # primary host only; a process-0-only call deadlocks the primary
+        # against peers that never arrive (observed in the 2-process
+        # integration run)
         self.ckpt.save_best_generator(self.g_state, self.mean, self.std)
         m = self.cfg.train.best_metric
         self.log(f'new best G at epoch {epoch} ({m} {val[m]:.4f})')
@@ -492,10 +610,15 @@ class Trainer:
                     self.save_best(epoch, val)
 
             if epoch % cfg.train.save_every_epochs == 0:
+                # all processes enter (orbax coordinates multi-process
+                # writes itself — see save_best); plain-file artifacts are
+                # primary-host-only
                 self.ckpt.save(epoch, self.g_state, self.d_state,
                                self.controller.state_dict(), self.mean,
                                self.std,
                                extra=dict(loss_history=self.loss_history))
-                ckpt_lib.save_loss_history(
-                    Path(cfg.train.save_dir) / 'loss.npy', self.loss_history)
+                if jax.process_index() == 0:
+                    ckpt_lib.save_loss_history(
+                        Path(cfg.train.save_dir) / 'loss.npy',
+                        self.loss_history)
         return self.loss_history
