@@ -47,10 +47,9 @@ def evaluate_speaker(path2data, speaker: str, ckpt_dir=None,
         jnp.zeros((1, cfg.generator.time_steps, 128), jnp.float32))
     mean = std = None
     if ckpt_dir is not None:
-        from a2m.train.checkpoint import CheckpointManager
+        from a2m.train.checkpoint import load_any_generator_ckpt
         from a2m.train.train_step import NetState
-        mgr = CheckpointManager(ckpt_dir)
-        best = mgr.load_best_generator(NetState(
+        best = load_any_generator_ckpt(ckpt_dir, NetState(
             variables['params'], variables.get('batch_stats', {}), None))
         if best is not None:
             variables = {'params': best['params'],

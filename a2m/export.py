@@ -112,7 +112,7 @@ def _build_from_checkpoint(ckpt_dir, path2data, speakers, cfg: Config):
     """(generator, variables, mean, std) from a checkpoint + data stats."""
     from a2m.data import DataLoader, get_mean_std_necksub
     from a2m.models import Generator
-    from a2m.train.checkpoint import CheckpointManager
+    from a2m.train.checkpoint import load_any_generator_ckpt
     from a2m.train.train_step import NetState
 
     generator = Generator(cfg.generator)
@@ -120,21 +120,26 @@ def _build_from_checkpoint(ckpt_dir, path2data, speakers, cfg: Config):
     dummy = jnp.zeros((1, 64, 128), jnp.float32)
     variables = jax.jit(generator.init)({'params': key, 'dropout': key},
                                         dummy)
+    mean = std = None
     if ckpt_dir is not None:
-        mgr = CheckpointManager(ckpt_dir)
         state = NetState(variables['params'],
                          variables.get('batch_stats', {}), None)
-        best = mgr.load_best_generator(state)
+        best = load_any_generator_ckpt(ckpt_dir, state)
         if best is not None:
             variables = {'params': best['params'],
                          'batch_stats': best['batch_stats']}
-    if path2data is not None:
-        dl = DataLoader(path2data=path2data, speaker=list(speakers),
-                        modalities=['pose/data', 'audio/log_mel_512'],
-                        fs_new=[15, 15], batch_size=64, window_hop=5)
-        mean, std = get_mean_std_necksub(dl.train)
-    else:
-        mean, std = np.zeros(104, np.float32), np.ones(104, np.float32)
+            # stats shipped with the checkpoint define the model's output
+            # space — bake those, not whatever the eval loader would derive
+            if 'mean' in best:
+                mean, std = best['mean'], best['std']
+    if mean is None:
+        if path2data is not None:
+            dl = DataLoader(path2data=path2data, speaker=list(speakers),
+                            modalities=['pose/data', 'audio/log_mel_512'],
+                            fs_new=[15, 15], batch_size=64, window_hop=5)
+            mean, std = get_mean_std_necksub(dl.train)
+        else:
+            mean, std = np.zeros(104, np.float32), np.ones(104, np.float32)
     return generator, variables, mean, std
 
 

@@ -131,6 +131,103 @@ def load_generator_ckpt(path, g_state: NetState) -> dict | None:
         return ckpt.restore(path, template)
 
 
+# ---------------------------------------------------------------------------
+# Compact portable best-G weights (single .npz file, committable to a repo).
+#
+# The reference's Best_Gen is a torch ``state_dict`` pickle
+# (`version5_model_train.py:508-510`) — not portable, no stats.  The npz
+# flavor flattens the flax trees to ``params/<path>`` / ``batch_stats/
+# <path>`` keys, stores weights as float16 (49.8M params -> ~100 MB; weight
+# magnitudes sit far inside f16 range, and PCK of the restored model is
+# verified equal in tests), and keeps normalization stats exact (f32).
+
+
+def _flatten_tree(prefix: str, tree, out: dict) -> None:
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten_tree(f'{prefix}/{k}', v, out)
+    else:
+        out[prefix] = np.asarray(tree)
+
+
+def _unflatten(flat: dict) -> dict:
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split('/')
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return root
+
+
+def save_best_generator_npz(best: dict, out_path) -> Path:
+    """Pack a ``load_generator_ckpt`` result dict into one .npz file."""
+    flat: dict = {}
+    _flatten_tree('params', _tree_to_pure(best['params']), flat)
+    _flatten_tree('batch_stats', _tree_to_pure(best['batch_stats']), flat)
+    packed = {k: (v.astype(np.float16)
+                  if v.dtype == np.float32 else v)
+              for k, v in flat.items()}
+    if 'mean' in best:
+        packed['stats/mean'] = np.asarray(best['mean'], np.float32)
+        packed['stats/std'] = np.asarray(best['std'], np.float32)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, 'wb') as f:
+        np.savez(f, **packed)
+    return out_path
+
+
+def pack_best_generator_npz(ckpt_dir, out_path, g_state=None) -> Path:
+    """Orbax ``best_gen`` checkpoint dir -> portable .npz."""
+    if g_state is None:
+        import jax.numpy as jnp
+        from a2m.config import GeneratorConfig
+        from a2m.models import Generator
+        g = Generator(GeneratorConfig())
+        variables = jax.eval_shape(
+            g.init, {'params': jax.random.PRNGKey(0),
+                     'dropout': jax.random.PRNGKey(0)},
+            jnp.zeros((1, 64, 128), jnp.float32))
+        g_state = NetState(
+            jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                         variables['params']),
+            jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                         variables.get('batch_stats', {})), None)
+    best = load_generator_ckpt(Path(ckpt_dir) / 'best_gen', g_state)
+    if best is None:
+        best = load_generator_ckpt(ckpt_dir, g_state)
+    if best is None:
+        raise FileNotFoundError(f'no best_gen checkpoint under {ckpt_dir}')
+    return save_best_generator_npz(best, out_path)
+
+
+def load_best_generator_npz(path) -> dict:
+    """Restore dict(params, batch_stats[, mean, std]); f16 -> f32."""
+    with np.load(Path(path), allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    flat = {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+            for k, v in flat.items()}
+    tree = _unflatten(flat)
+    out = dict(params=tree.get('params', {}),
+               batch_stats=tree.get('batch_stats', {}))
+    if 'stats' in tree:
+        out['mean'] = tree['stats']['mean']
+        out['std'] = tree['stats']['std']
+    return out
+
+
+def load_any_generator_ckpt(path, g_state: NetState) -> dict | None:
+    """Best-G weights from any supported layout: a packed ``.npz`` file, a
+    save dir containing ``best_gen``, or a ``best_gen`` dir itself."""
+    p = Path(path)
+    if p.suffix == '.npz':
+        return load_best_generator_npz(p) if p.exists() else None
+    best = load_generator_ckpt(p / 'best_gen', g_state)
+    return best if best is not None else load_generator_ckpt(p, g_state)
+
+
 def save_loss_history(path, loss_dict: dict) -> None:
     """Loss-history artifact (reference saves loss.npy via torch.save,
     version5_model_train.py:519-532)."""

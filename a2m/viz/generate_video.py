@@ -49,12 +49,11 @@ def run(path2data, speaker: str, ckpt_dir, out_dir, sample_idx: int = 1,
     variables = jax.jit(generator.init)({'params': key, 'dropout': key}, dummy)
     mean = std = None
     if ckpt_dir is not None:
-        from a2m.train.checkpoint import CheckpointManager
+        from a2m.train.checkpoint import load_any_generator_ckpt
         from a2m.train.train_step import NetState
-        mgr = CheckpointManager(ckpt_dir)
         state = NetState(variables['params'],
                          variables.get('batch_stats', {}), None)
-        best = mgr.load_best_generator(state)
+        best = load_any_generator_ckpt(ckpt_dir, state)
         if best is not None:
             variables = {'params': best['params'],
                          'batch_stats': best['batch_stats']}

@@ -214,8 +214,126 @@ def main(epochs: int = 80, fresh: bool = False, seed: int = 0) -> None:
                                  'total_skip_d')}), flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Turnkey recipe: the proven two-stage GANFT pipeline (VERDICT r4 item 2).
+#
+# Stage 1 reproduces run pos60r4 (supervised position training, val_pck
+# best-checkpoint selection, dead D) and stage 2 reproduces run ganft1
+# (GAN fine-tune warm-started from stage 1, clamped D LR, val_pck
+# selection) — the recorded recipe that reached test PCK@0.2 = 0.812 on the
+# deterministic fixture (artifacts/campaign_ganft1_summary.json; LEARNING.md
+# runs P60r4/GANFT1).  One command, empty /tmp -> trained flagship best_gen
+# + StableHLO export + manifest under artifacts/.
+
+RECIPE_S1 = [
+    'train.lambda_pos=1.0', 'train.lambda_gan=0', 'train.lambda_smooth=0',
+    'train.lambda_jerk=0', 'train.best_metric=val_pck',
+    'train.controller.d_strong_threshold=0', 'train.controller.g_lr=0.001',
+]
+RECIPE_S2 = [
+    'train.lambda_pos=1.0', 'train.best_metric=val_pck',
+    'd_lr=2e-4', 'd_lr_min=2e-4', 'g_lr_max=1e-3',
+]
+
+
+def run_recipe_ganft(tag: str = 'ganft', seed: int = 0,
+                     epochs=(60, 60)) -> None:
+    """Run both stages in subprocesses (fresh jax state per stage; each
+    stage resumes from its periodic checkpoints if interrupted), then
+    export + evaluate the trained flagship and write a manifest."""
+    import hashlib
+    import subprocess
+    here = pathlib.Path(__file__).resolve()
+    repo = here.parent.parent
+    stages = [
+        (f'{tag}_s1', epochs[0], list(RECIPE_S1)),
+        (f'{tag}_s2', epochs[1], list(RECIPE_S2) + [
+            f'train.init_from=/tmp/a2m_campaign_det_{tag}_s1/save/ckpt']),
+    ]
+    t_all = time.time()
+    for stage_tag, eps, ovs in stages:
+        root = pathlib.Path(f'/tmp/a2m_campaign_det_{stage_tag}')
+        if (root / 'save' / 'campaign_summary.json').exists():
+            print(f'[recipe] stage {stage_tag}: complete, skipping',
+                  flush=True)
+            continue
+        cmd = [sys.executable, str(here), str(eps), '--tag', stage_tag,
+               '--seed', str(seed)] + ovs
+        print(f'[recipe] stage {stage_tag}: {" ".join(cmd)}', flush=True)
+        t0 = time.time()
+        # The remote-compile tunnel flakes transiently ("response body
+        # closed", service restarts); each stage resumes from its periodic
+        # checkpoints, so retrying with backoff is cheap and rides out
+        # outages of up to a few hours.
+        for attempt in range(40):
+            try:
+                subprocess.run(cmd, check=True)
+                break
+            except subprocess.CalledProcessError as e:
+                wait = min(300, 30 * (attempt + 1))
+                print(f'[recipe] stage {stage_tag} attempt {attempt} '
+                      f'failed ({e}); retrying in {wait}s', flush=True)
+                time.sleep(wait)
+        else:
+            raise RuntimeError(f'stage {stage_tag} failed after retries')
+        print(f'[recipe] stage {stage_tag} done in '
+              f'{time.time() - t0:.0f}s', flush=True)
+
+    s2_root = pathlib.Path(f'/tmp/a2m_campaign_det_{tag}_s2')
+    ckpt = s2_root / 'save' / 'ckpt'
+    summary = json.loads(
+        (s2_root / 'save' / 'campaign_summary.json').read_text())
+
+    # StableHLO serving artifact (weights + shipped stats baked in)
+    from a2m.export import main as export_main
+    shlo = pathlib.Path('/tmp/a2m_flagship/a2m_pose.shlo')
+    export_info = export_main(['--ckpt', str(ckpt), '--out', str(shlo),
+                               '--check'])
+
+    # compact in-repo weights: best_gen params/bn as bf16 npz + f32 stats
+    from a2m.train.checkpoint import pack_best_generator_npz
+    npz_path = repo / 'artifacts' / 'flagship_best_gen.npz'
+    pack_best_generator_npz(ckpt, npz_path)
+
+    manifest = dict(
+        recipe='ganft', seed=seed, epochs=list(epochs),
+        stage_overrides={'s1': RECIPE_S1, 's2': RECIPE_S2},
+        ckpt_dir=str(ckpt), export=export_info,
+        npz=str(npz_path.relative_to(repo)),
+        npz_sha256=hashlib.sha256(npz_path.read_bytes()).hexdigest(),
+        npz_bytes=npz_path.stat().st_size,
+        pck=summary.get('pck'), wall_s=round(time.time() - t_all, 1),
+        data_root=f'/tmp/a2m_data_det',
+    )
+    out = repo / 'artifacts' / 'flagship_manifest.json'
+    out.write_text(json.dumps(manifest, indent=1) + '\n')
+    print('[recipe] manifest -> ' + str(out), flush=True)
+    print('RECIPE_SUMMARY ' + json.dumps(
+        dict(pck=manifest['pck'], wall_s=manifest['wall_s'])), flush=True)
+
+
 if __name__ == '__main__':
     argv = sys.argv[1:]
+    if '--recipe' in argv:
+        i = argv.index('--recipe')
+        name = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        if name != 'ganft':
+            raise SystemExit(f'unknown recipe {name!r} (have: ganft)')
+        tag_r = 'ganft'
+        if '--tag' in argv:
+            j = argv.index('--tag')
+            tag_r = argv[j + 1]
+            argv = argv[:j] + argv[j + 2:]
+        seed_r = 0
+        if '--seed' in argv:
+            j = argv.index('--seed')
+            seed_r = int(argv[j + 1])
+            argv = argv[:j] + argv[j + 2:]
+        eps = [int(a) for a in argv if a.isdigit()] or [60, 60]
+        run_recipe_ganft(tag_r, seed_r,
+                         tuple(eps * 2)[:2])
+        raise SystemExit(0)
     tag = ''
     if '--tag' in argv:
         i = argv.index('--tag')
