@@ -132,14 +132,36 @@ def stream_poses_multi(generator, variables, features_list,
 
 
 def _pose_rate_spec(sr: int, method: str = 'log_mel_512'):
+    """Pose-rate (15 fps) mel spec for any frontend family.
+
+    The stride that the training loader applies by slicing
+    (``round(feature_fs / POSE_FPS)``, dataUtils.py:585-620 semantics) is
+    folded into the hop so only kept frames are computed.  The 400
+    family (log_mel_400 / VGGish, reference audio.py:86-120 /
+    mel_features.py:192-223) is defined on 16 kHz input — callers with
+    other rates resample on host first (``a2m.audio.mel_np.resample``,
+    kaiser_best like the reference), exactly as the training modality does
+    (a2m/data/modalities.py:171-183)."""
     from a2m.audio import frontend
-    if method != 'log_mel_512':
-        raise ValueError('streaming currently supports log_mel_512')
-    fs = constants.AUDIO_FS_MAP['log_mel_512']
+    if method == 'log_mel_512':
+        fs = constants.AUDIO_FS_MAP['log_mel_512']
+        spec = frontend.spec_log_mel_512(sr)
+    elif method in ('log_mel_400', 'vggish'):
+        spec = (frontend.spec_log_mel_400() if method == 'log_mel_400'
+                else frontend.spec_vggish())
+        if sr != spec.sr:
+            raise ValueError(
+                f'{method} streaming expects {spec.sr} Hz input (reference '
+                f'audio.py:86-120 resamples first); got sr={sr}. Resample '
+                f'on host with a2m.audio.mel_np.resample(y, sr, 16000).')
+        fs = constants.AUDIO_FS_MAP['log_mel_400']
+    else:
+        raise ValueError(f'unknown streaming method {method!r} (have: '
+                         f'log_mel_512, log_mel_400, vggish)')
     stride = round(fs / constants.POSE_FPS)
     # stride folded into the hop: compute only pose-rate frames (equal to
-    # [::stride] of the full 89 Hz grid, 6x less frontend work)
-    return frontend.strided_spec(frontend.spec_log_mel_512(sr), stride)
+    # [::stride] of the full feature grid, stride-x less frontend work)
+    return frontend.strided_spec(spec, stride)
 
 
 def _waveform_features(waveform: np.ndarray, sr: int,
@@ -173,6 +195,46 @@ def _waveform_features_grouped(waveforms, sr: int,
     return feats
 
 
+# -- serving wire formats ---------------------------------------------------
+#
+# The sandbox's host->device transport is the bottleneck for end-to-end
+# multi-stream serving (8 x 60 s of f32 samples = 87.6 MB vs ~0.08 s of
+# device compute), so the wire format is a first-class serving knob:
+# int16 PCM halves the bytes (log_mel scales integer input on device —
+# a2m/audio/frontend.py:301-306), and 8-bit mu-law (the G.711 telephony
+# companding curve, continuous form) quarters them with speech-grade
+# fidelity; both decode on device inside the fused pipeline.
+
+ULAW_MU = 255.0
+
+
+def encode_ulaw(x: np.ndarray) -> np.ndarray:
+    """float samples in [-1, 1] -> uint8 mu-law codes (host-side, client)."""
+    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(ULAW_MU * np.abs(x)) / np.log1p(ULAW_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def decode_ulaw(codes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 mu-law codes -> float32 samples (device-side, in-pipeline)."""
+    y = codes.astype(jnp.float32) / np.float32(127.5) - 1.0
+    return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * np.float32(
+        np.log1p(ULAW_MU))) / np.float32(ULAW_MU))
+
+
+def _decode_wire(waves: jnp.ndarray, encoding: str) -> jnp.ndarray:
+    """Trace-time wire decode: mu-law uint8 -> f32 here; integer PCM passes
+    through (log_mel scales it on device); float passes through."""
+    if encoding == 'ulaw':
+        if waves.dtype != jnp.uint8:
+            raise ValueError(f'ulaw wire format is uint8, got {waves.dtype}')
+        return decode_ulaw(waves)
+    if encoding != 'linear':
+        raise ValueError(f"unknown wire encoding {encoding!r} "
+                         f"(have: 'linear', 'ulaw')")
+    return waves
+
+
 def _blend_matrix(starts: np.ndarray, n_frames: int,
                   window: int) -> np.ndarray:
     """The host-side :func:`blend` overlap-add as ONE static (T, W*window)
@@ -192,7 +254,7 @@ def _blend_matrix(starts: np.ndarray, n_frames: int,
 
 @functools.lru_cache(maxsize=8)
 def _fused_pipeline(generator, sr: int, method: str, n_samples: int,
-                    window: int, hop: int):
+                    window: int, hop: int, encoding: str = 'linear'):
     """ONE jitted device program per (S is dynamic via shape, n_samples):
     (S, n_samples) waveforms -> (S, T, 104) poses.
 
@@ -218,6 +280,7 @@ def _fused_pipeline(generator, sr: int, method: str, n_samples: int,
 
     @jax.jit
     def run(variables, waves):
+        waves = _decode_wire(waves, encoding)
         feats = frontend.log_mel(waves, spec, exact=False)   # (S, T, 128)
         wins = jnp.take(feats, idx, axis=1)          # (S, W, window, 128)
         s, w_n = wins.shape[0], wins.shape[1]
@@ -252,25 +315,53 @@ def stream_from_waveform(generator, variables, waveform: np.ndarray,
 def stream_from_waveforms(generator, variables, waveforms, sr: int,
                           method: str = 'log_mel_512', hop: int = 32,
                           batch_size: int = 64,
-                          fused: str | bool = 'auto') -> list[np.ndarray]:
+                          fused: str | bool = 'auto',
+                          encoding: str = 'linear',
+                          pipeline_groups: int = 1) -> list[np.ndarray]:
     """S raw audio streams -> S pose streams.
 
     ``fused='auto'`` (default): when every stream has the same sample
     count — the common serving shape — the whole batch runs as ONE device
     program (frontend + windows + forward + blend, :func:`_fused_pipeline`);
     otherwise streams group into per-length batched frontend calls and
-    share one chunked window batch (:func:`stream_poses_multi`).  Waveforms
-    may be int16 PCM (scaled on device) and may already live on device."""
+    share one chunked window batch (:func:`stream_poses_multi`).
+
+    Wire format: waveforms may be f32, int16/int32 PCM (scaled on device —
+    half the host->device bytes), or uint8 mu-law with ``encoding='ulaw'``
+    (quarter the bytes); arrays may also already live on device.
+
+    ``pipeline_groups=G`` (fused path) splits the stream batch into G
+    equal groups and overlaps group i+1's host->device upload with group
+    i's compute: every upload is issued asynchronously up front, compute
+    dispatches follow, and results drain in order.  Useful when the
+    host->device link, not the chip, bounds serving (each group compiles
+    its own S/G-shape executable — pick a fixed G per serving config)."""
     window = constants.FRAMES_PER_WINDOW
     lens = {int(np.shape(w)[-1]) for w in waveforms}
     if fused is True or (fused == 'auto' and len(lens) == 1):
         if len(lens) != 1:
             raise ValueError('fused=True needs equal-length streams; got '
                              f'lengths {sorted(lens)}')
-        run = _fused_pipeline(generator, sr, method, lens.pop(), window, hop)
-        out = np.asarray(run(variables,
-                             jnp.stack([jnp.asarray(w) for w in waveforms])))
-        return list(out)
+        n = lens.pop()
+        run = _fused_pipeline(generator, sr, method, n, window, hop,
+                              encoding)
+        s = len(waveforms)
+        g = max(1, min(pipeline_groups, s))
+        if s % g:
+            raise ValueError(f'pipeline_groups={g} must divide the '
+                             f'{s}-stream batch')
+        per = s // g
+        stacks = [np.stack([np.asarray(w)
+                            for w in waveforms[i * per:(i + 1) * per]])
+                  for i in range(g)]
+        # all uploads issued (async) before any compute dispatch; the
+        # runtime streams group k+1's bytes while group k computes
+        staged = [jax.device_put(st) for st in stacks]
+        outs = [run(variables, st) for st in staged]
+        return [p for o in outs for p in np.asarray(o)]
+    if encoding != 'linear':
+        raise ValueError('non-linear wire encodings are decoded in the '
+                         'fused pipeline; equal-length streams required')
     feats = _waveform_features_grouped(waveforms, sr, method)
     return stream_poses_multi(generator, variables, feats, hop=hop,
                               batch_size=batch_size)

@@ -367,6 +367,53 @@ def test_fused_stream_matches_chunked(rng):
     np.testing.assert_allclose(f16, f32, atol=1e-5)
 
 
+def test_ulaw_wire_format_and_grouped_pipeline(rng):
+    """8-bit mu-law wire: encode/decode round-trips within companding
+    error, the fused pipeline decodes it on device to the f32 result, and
+    pipeline_groups (upload/compute overlap) changes nothing numerically."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import (decode_ulaw, encode_ulaw,
+                                    stream_from_waveforms)
+    from a2m.models import Generator
+
+    x = (rng.standard_normal(4096) * 0.1).astype(np.float32)
+    codes = encode_ulaw(x)
+    assert codes.dtype == np.uint8
+    back = np.asarray(decode_ulaw(jnp.asarray(codes)))
+    # companding: fine resolution near zero, coarser at full scale (step
+    # size grows as (1 + mu|x|); ~1e-2 around |x|~0.4)
+    assert np.abs(back - np.clip(x, -1, 1)).max() < 1.5e-2
+    assert np.abs(back[np.abs(x) < 0.01] - x[np.abs(x) < 0.01]).max() < 4e-4
+
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    sr = 45600
+    n = int(sr * 6.0)
+    waves = [(rng.standard_normal(n) * 0.1).astype(np.float32)
+             for _ in range(4)]
+    ref = stream_from_waveforms(g, v, waves, sr)
+    wire = [encode_ulaw(w) for w in waves]
+    dec = stream_from_waveforms(g, v, wire, sr, encoding='ulaw')
+    for r, d in zip(ref, dec):
+        # 8-bit wire vs f32: a small feature perturbation pushed through an
+        # UNTRAINED (locally expansive) generator — bound the tail loosely
+        # and the bulk tightly
+        np.testing.assert_allclose(d, r, atol=0.25)
+        assert np.abs(d - r).mean() < 0.02
+    grouped = stream_from_waveforms(g, v, wire, sr, encoding='ulaw',
+                                    pipeline_groups=2)
+    for d, gr in zip(dec, grouped):
+        np.testing.assert_allclose(gr, d, atol=1e-5)
+    with pytest.raises(ValueError, match='divide'):
+        stream_from_waveforms(g, v, wire, sr, pipeline_groups=3,
+                              encoding='ulaw')
+
+
 def test_stream_waveforms_unequal_lengths_grouped(rng):
     """Unequal-length streams fall back to per-length grouped frontend
     calls + one shared chunked window batch, matching per-stream results."""
@@ -387,6 +434,51 @@ def test_stream_waveforms_unequal_lengths_grouped(rng):
     for w, m in zip(waves, multi):
         single = stream_from_waveform(g, v, w, sr, batch_size=8)
         np.testing.assert_allclose(m, single, atol=1e-5)
+
+
+def test_streaming_log_mel_400_family(rng):
+    """VERDICT r4 item 6: the 400 family streams too.  The pose-rate
+    strided spec must equal the training path exactly (full-grid features
+    stride-sliced like the loader), and the fused waveform->pose call must
+    run end to end on 64-mel features."""
+    import jax
+    import jax.numpy as jnp
+    from a2m import constants
+    from a2m.audio import frontend
+    from a2m.config import GeneratorConfig
+    from a2m.eval import streaming
+    from a2m.models import Generator
+
+    y = (rng.standard_normal(16000 * 6) * 0.1).astype(np.float32)
+    stride = round(constants.AUDIO_FS_MAP['log_mel_400']
+                   / constants.POSE_FPS)
+    full = np.asarray(frontend.log_mel_400(jnp.asarray(y)))[::stride]
+    spec = streaming._pose_rate_spec(16000, 'log_mel_400')
+    strided = np.asarray(frontend.log_mel(jnp.asarray(y), spec))
+    n = min(len(full), len(strided))
+    np.testing.assert_allclose(strided[:n], full[:n], atol=1e-5)
+    assert strided.shape[1] == 64
+
+    v_spec = streaming._pose_rate_spec(16000, 'vggish')
+    assert v_spec.hop_length == 160 * stride
+
+    with pytest.raises(ValueError, match='16000'):
+        streaming._pose_rate_spec(45600, 'log_mel_400')
+    with pytest.raises(ValueError, match='unknown streaming method'):
+        streaming._pose_rate_spec(16000, 'nope')
+
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 64), jnp.float32))
+    out = streaming.stream_from_waveform(g, v, y, 16000,
+                                         method='log_mel_400')
+    assert out.shape == (strided.shape[0], 104)
+    fused = streaming.stream_from_waveform(g, v, y, 16000,
+                                           method='log_mel_400',
+                                           fused=True)
+    np.testing.assert_allclose(fused, out, atol=2e-4)
 
 
 def test_streaming_apply_is_cached(rng):
