@@ -109,16 +109,87 @@ def write_text_meta(path2h5, df, force_plain: bool = False) -> str:
     return 'plain'
 
 
+#: lazy-interval mode: max open read-only h5 handles (close on eviction;
+#: stays under typical 1024-fd ulimits with room for the rest of the
+#: process)
+LAZY_OPEN_FILES = 256
+
+
+class _H5HandleCache:
+    """LRU of open read-only h5py.File handles.
+
+    Lazy mode reads ONLY each window's rows straight from disk (a ~30 KB
+    strided read) instead of materializing whole intervals; the dominant
+    per-access cost is then the h5 open, so handles are pooled.  Accesses
+    are single-threaded by construction (the Trainer's one prefetch
+    thread; stats run before it starts) — h5py handles are not shared
+    across concurrent threads."""
+
+    def __init__(self, maxsize: int = LAZY_OPEN_FILES):
+        import collections
+        self.maxsize = maxsize
+        self._files: collections.OrderedDict = collections.OrderedDict()
+        self.hits = self.misses = 0
+
+    def get(self, path: str):
+        f = self._files.pop(path, None)
+        if f is None:
+            self.misses += 1
+            if len(self._files) >= self.maxsize:
+                self._files.popitem(last=False)[1].close()
+            f = hdf5_io.h5_open(path, 'r')
+        else:
+            self.hits += 1
+        self._files[path] = f
+        return f
+
+    def clear(self) -> None:
+        for f in self._files.values():
+            f.close()
+        self._files.clear()
+        self.hits = self.misses = 0
+
+
+_LAZY_H5 = _H5HandleCache()
+
+
+def _lazy_window_slice(path2h5, modality: str, w, idx: int) -> np.ndarray:
+    """One window's rows for ``DataLoader(lazy_intervals=True)`` — reads
+    just the window extent from the h5 dataset (strided read for the
+    reference's stride-resampling WindowIndex; contiguous block + gather
+    for ExactWindowIndex)."""
+    ds = _LAZY_H5.get(str(path2h5))[modality]
+    if isinstance(w, WindowIndex):
+        s = int(w.starts[idx])
+        out = ds[s:s + w.window:w.stride]
+    else:                                  # ExactWindowIndex: gather rows
+        j = w.start_frames[idx] + np.arange(w.out_len)
+        rows = np.minimum(np.rint(j * (w.fs / w.fs_new)).astype(np.int64),
+                          w.n_rows - 1)
+        block = ds[int(rows[0]):int(rows[-1]) + 1]
+        out = block[rows - rows[0]]
+    return np.asarray(out, np.float32)
+
+
 class IntervalData:
-    """One interval's .h5 -> in-memory float32 arrays + sliding windows
-    (reference MiniData, dataUtils.py:510-729)."""
+    """One interval's .h5 -> float32 arrays + sliding windows
+    (reference MiniData, dataUtils.py:510-729).
+
+    The reference eagerly loads EVERY interval into RAM at startup
+    (dataUtils.py:530-540) — tens of GB at real-PATS scale (84K intervals,
+    dataUtils.py:111-113).  ``lazy_intervals=True`` reads only shape
+    metadata here and reads each window's rows straight from the h5 file
+    at access time (:func:`_lazy_window_slice`, pooled open handles)
+    instead."""
 
     def __init__(self, path2h5, modalities: Sequence[str],
                  fs_new: Sequence[int], time: float,
                  modality_classes: dict, window_hop: int = 0, style: int = 0,
                  repeat_text: int = 1, text_in_modalities: bool = False,
-                 filler: int = 0, exact_windows: bool = False, **kwargs):
+                 filler: int = 0, exact_windows: bool = False,
+                 lazy_intervals: bool = False, **kwargs):
         self.exact_windows = exact_windows
+        self.lazy = lazy_intervals
         self.path2h5 = path2h5
         self.modalities = list(modalities)
         self.fs_new = list(fs_new)
@@ -133,9 +204,13 @@ class IntervalData:
         self.data: list[np.ndarray] = []
         self.shapes: list[tuple] = []
         for modality in self.modalities:
-            arr = hdf5_io.load_array(self.path2h5, modality, np.float32)
-            self.data.append(arr)
-            self.shapes.append(arr.shape)
+            if self.lazy:
+                self.shapes.append(
+                    hdf5_io.dataset_shape(self.path2h5, modality))
+            else:
+                arr = hdf5_io.load_array(self.path2h5, modality, np.float32)
+                self.data.append(arr)
+                self.shapes.append(arr.shape)
 
         # cached per-interval normalization stats for pose modalities
         # (reference dataUtils.py:563-582, applied per window at :656-663)
@@ -169,7 +244,8 @@ class IntervalData:
         start_time = 0.0
         for i, modality in enumerate(self.modalities):
             w = self.windows[modality]
-            sliced = w.slice(self.data[i], idx)
+            sliced = (_lazy_window_slice(self.path2h5, modality, w, idx)
+                      if self.lazy else w.slice(self.data[i], idx))
             if modality in self.norm_stats:
                 # cached-stat normalization, std clamped like the reference
                 # (dataUtils.py:656-663)
@@ -465,7 +541,7 @@ class DataLoader(mods.Modality):
                  quantile_num_training_sample=None, weighted=0, filler=False,
                  num_training_iters=None, seed=0, use_pallas=None,
                  max_intervals=None, process_index=None, process_count=None,
-                 exact_windows=False):
+                 exact_windows=False, lazy_intervals=False):
         self.path2data = path2data
         if isinstance(speaker, str):
             speaker = [speaker]
@@ -492,6 +568,8 @@ class DataLoader(mods.Modality):
         # a2m extension (off = reference parity): drift-free windowing —
         # see windowing.ExactWindowIndex
         self.exact_windows = exact_windows
+        # a2m extension: bounded-RAM interval payloads (see IntervalData)
+        self.lazy_intervals = lazy_intervals
         # multi-host data feeding (SURVEY §2.5 DP row): every split is
         # strided across processes so each host loads and feeds a disjoint
         # interval shard over DCN; None = this process's jax identity
@@ -587,7 +665,7 @@ class DataLoader(mods.Modality):
                     'first collective — not supported with '
                     'process_index/process_count')
             pc = None if self.process_count == -1 else self.process_count
-            pi = self.process_index
+            pi = None if self.process_index == -1 else self.process_index
             if pi is None or pc is None:
                 import jax
                 pi = pi if pi is not None else jax.process_index()
@@ -696,7 +774,8 @@ class DataLoader(mods.Modality):
                       window_hop=self.window_hop,
                       repeat_text=self.repeat_text,
                       text_in_modalities=self.text_in_modalities,
-                      filler=self.filler, exact_windows=self.exact_windows)
+                      filler=self.filler, exact_windows=self.exact_windows,
+                      lazy_intervals=self.lazy_intervals)
         return [IntervalData(self.getPath2file(i), style=self.getStyle(i),
                              **kwargs) for i in intervals]
 
@@ -834,6 +913,7 @@ DATACONFIG_FIELD_MAP: dict[str, str] = {
     'process_index': 'process_index',
     'process_count': 'process_count',
     'exact_windows': 'exact_windows',
+    'lazy_intervals': 'lazy_intervals',
 }
 
 

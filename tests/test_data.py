@@ -626,3 +626,29 @@ def test_multihost_balanced_equal_batches(pats_root):
     with pytest.raises(ValueError, match='quantile'):
         DataLoader(**kw, process_index=0, process_count=2,
                    quantile_sample=0.5)
+
+
+def test_lazy_intervals_equal_output(pats_root):
+    """DataLoader(lazy_intervals=True) yields byte-identical batches to the
+    eager loader (VERDICT r4 item 7: bounded-RAM mode), with no interval
+    payloads resident at startup."""
+    from a2m.data.dataset import _LAZY_H5
+
+    kw = dict(path2data=pats_root, speaker=['oliver', 'noah'],
+              modalities=['pose/data', 'audio/log_mel_512'],
+              fs_new=[15, 15], batch_size=8, window_hop=20, shuffle=False)
+    eager = DataLoader(**kw)
+    _LAZY_H5.clear()
+    lazy = DataLoader(**kw, lazy_intervals=True)
+    for d in lazy.train.dataset.datasets:
+        assert d.data == [] and d.lazy        # nothing resident at startup
+    for split in ('train', 'dev', 'test'):
+        be = list(getattr(eager, split))
+        bl = list(getattr(lazy, split))
+        assert len(be) == len(bl) >= 1
+        for e, l in zip(be, bl):
+            assert set(e) == set(l)
+            for k in e:
+                if isinstance(e[k], np.ndarray):
+                    np.testing.assert_array_equal(e[k], l[k])
+    assert _LAZY_H5.hits + _LAZY_H5.misses > 0
