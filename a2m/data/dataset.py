@@ -161,7 +161,9 @@ def _lazy_window_slice(path2h5, modality: str, w, idx: int) -> np.ndarray:
     ds = _LAZY_H5.get(str(path2h5))[modality]
     if isinstance(w, WindowIndex):
         s = int(w.starts[idx])
-        out = ds[s:s + w.window:w.stride]
+        # contiguous block + numpy stride: one h5 hyperslab instead of
+        # window/stride scattered blocks (measured ~2x cheaper per read)
+        out = ds[s:s + w.window][::w.stride]
     else:                                  # ExactWindowIndex: gather rows
         j = w.start_frames[idx] + np.arange(w.out_len)
         rows = np.minimum(np.rint(j * (w.fs / w.fs_new)).astype(np.int64),
