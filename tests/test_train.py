@@ -617,11 +617,18 @@ def test_trainer_mesh_matches_single_device(tmp_path, rng):
     g1, d1, v1 = run(MeshConfig(data=1), 'save_single')
     g8, d8, v8 = run(MeshConfig(data=-1), 'save_mesh')
     assert len(g1) == len(g8) >= 1
+    # FIRST-step equivalence is tight (no compounding yet): a ~1% sharding
+    # bug in the forward/backward/psum cannot hide here (VERDICT r4 item 8)
+    np.testing.assert_allclose(g8[0], g1[0], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(d8[0], d1[0], rtol=2e-4, atol=1e-5)
     # per-STEP sharded-vs-single equivalence is 1e-4 (asserted in
     # test_parallel.py::test_gan_step_sharding_equivalence); over an epoch
     # the reduction-order float drift compounds through Adam + BatchNorm
     # chains (g_freq sequential updates per batch), so the sequence-level
     # tolerance is looser — observed ~2e-3 relative after one epoch.
+    # (Trainer-level SEQUENCE equivalence at 1e-4 is asserted where the
+    # program is identical on both sides: the 2-process-vs-1-process run,
+    # tests/test_distributed.py::test_two_process_cpu_launch.)
     np.testing.assert_allclose(g8, g1, rtol=1e-2, atol=1e-3)
     np.testing.assert_allclose(d8, d1, rtol=1e-2, atol=1e-3)
     assert v8 == pytest.approx(v1, rel=1e-2, abs=1e-3)
