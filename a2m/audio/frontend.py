@@ -289,6 +289,16 @@ def _pad_centered(y: jnp.ndarray, n_fft: int, pad_mode: str) -> jnp.ndarray:
     return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode=mode)
 
 
+def _pcm_to_float(y: jnp.ndarray) -> jnp.ndarray:
+    """Integer PCM -> [-1, 1) float32 ON DEVICE, so serving can ship int16
+    wire format (half the host->device bytes of f32).  Scale matches
+    librosa.util.buf_to_float (1 / 2^(bits-1)) — the reference's wav load
+    path (pats/data_loading/audio.py:80-90)."""
+    if jnp.issubdtype(y.dtype, jnp.integer):
+        return y.astype(jnp.float32) / np.float32(np.iinfo(y.dtype).max + 1)
+    return y.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=('spec', 'exact', 'n_frames'))
 def log_mel(y: jnp.ndarray, spec: MelSpec, exact: bool = True,
             n_frames: int | None = None) -> jnp.ndarray:
@@ -298,20 +308,62 @@ def log_mel(y: jnp.ndarray, spec: MelSpec, exact: bool = True,
     <=1e-5 parity with the float64 golden; ``exact=False`` single-f32 fast path.
     """
     mats = dft_matrices(spec)
-    if jnp.issubdtype(y.dtype, jnp.integer):
-        # PCM ingest: integer samples are scaled to [-1, 1) on DEVICE, so
-        # serving can ship int16 wire format (half the host->device bytes of
-        # f32).  Scale matches librosa.util.buf_to_float (1 / 2^(bits-1)) —
-        # the reference's wav load path (pats/data_loading/audio.py:80-90).
-        y = y.astype(jnp.float32) / np.float32(np.iinfo(y.dtype).max + 1)
-    else:
-        y = y.astype(jnp.float32)
+    y = _pcm_to_float(y)
     if spec.center:
         y = _pad_centered(y, spec.n_fft, spec.pad_mode)
     if n_frames is None:
         n_frames = 1 + (y.shape[-1] - mats['frame_len']) // spec.hop_length
     frames = frame_signal(y, mats['frame_len'], spec.hop_length, n_frames)
+    return _mel_from_frames(frames, spec, exact)
 
+
+def frame_for_wire(y: np.ndarray, spec: MelSpec,
+                   n_frames: int | None = None,
+                   tail_value: float = 0) -> np.ndarray:
+    """CLIENT-side framing for the framed serving wire format (numpy).
+
+    Emits exactly the (..., T, frame_len) sample frames that
+    :func:`log_mel` would cut from the waveform — same centered reflect
+    padding, same hop grid, same zero tail — so
+    ``log_mel_frames(frame_for_wire(y, spec), spec) == log_mel(y, spec)``
+    bit-for-bit.  With the pose-rate strided spec the hop (3072) exceeds
+    the frame length (2048), so a third of the samples are never read by
+    the frontend: shipping frames instead of the waveform cuts
+    host->device bytes 1.5x on top of any PCM/mu-law sample encoding
+    (dtype is preserved: int16 in -> int16 frames).
+    """
+    y = np.asarray(y)
+    mats = dft_matrices(spec)
+    frame_len, hop = mats['frame_len'], spec.hop_length
+    if spec.center:
+        pad = spec.n_fft // 2
+        mode = {'reflect': 'reflect', 'constant': 'constant'}[spec.pad_mode]
+        y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode=mode)
+    if n_frames is None:
+        n_frames = 1 + (y.shape[-1] - frame_len) // hop
+    needed = (n_frames - 1) * hop + frame_len
+    if y.shape[-1] < needed:   # frame_signal's zero tail (``tail_value``
+        # lets pre-encoded wires pad with their code for a zero sample,
+        # e.g. mu-law 128)
+        y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, needed - y.shape[-1])],
+                   constant_values=tail_value)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
+    return y[..., idx]
+
+
+@functools.partial(jax.jit, static_argnames=('spec', 'exact'))
+def log_mel_frames(frames: jnp.ndarray, spec: MelSpec,
+                   exact: bool = True) -> jnp.ndarray:
+    """Framed-wire entry: (..., T, frame_len) sample frames (f32 or integer
+    PCM, see :func:`frame_for_wire`) -> (..., T, n_mels) log-mel, identical
+    to :func:`log_mel` on the corresponding waveform."""
+    return _mel_from_frames(_pcm_to_float(frames), spec, exact)
+
+
+def _mel_from_frames(frames: jnp.ndarray, spec: MelSpec,
+                     exact: bool) -> jnp.ndarray:
+    """(..., T, frame_len) float32 frames -> (..., T, n_mels) log-mel."""
+    mats = dft_matrices(spec)
     if not exact:
         # fast path: two-stage radix DFT, ~8x fewer MACs than the direct
         # windowed-DFT matmul (measured 15.9 -> see README; parity vs the

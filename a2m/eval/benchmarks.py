@@ -305,8 +305,9 @@ def config6_streaming(seconds: float = 60.0) -> dict:
     # End-to-end cost here is dominated by host->device waveform bytes on
     # this sandbox's tunnel transport, so the serving WIRE FORMAT is
     # measured as a first-class axis (VERDICT r4 item 3): f32, int16 PCM
-    # (device-scaled), uint8 mu-law (device-decoded), and int16 with
-    # 2-group upload/compute overlap.
+    # (device-scaled), uint8 mu-law (device-decoded), int16 with 2-group
+    # upload/compute overlap, and client-framed mu-law (only the samples
+    # the strided frontend reads: 6x fewer bytes than f32, +-grouped).
     n_streams = 8
     waves_a = [(rng.standard_normal(int(SR * seconds)) * 0.1
                 ).astype(np.float32) for _ in range(n_streams)]
@@ -321,13 +322,22 @@ def config6_streaming(seconds: float = 60.0) -> dict:
         if enc == 'ulaw8':
             return [streaming.encode_ulaw(w) for w in ws], dict(
                 encoding='ulaw')
+        if enc == 'ulaw8_framed':
+            # client-side framing: ship only the 2048-of-every-3072
+            # samples the strided frontend reads (1.5x fewer bytes), then
+            # mu-law (4x) — the minimal-byte wire
+            return (streaming.frame_streams_for_wire(ws, SR,
+                                                     encoding='ulaw'),
+                    dict(encoding='ulaw', framed_n_samples=len(ws[0])))
         return ws, {}
 
     multi_wire = {}
     poses = None
     for enc, extra in (('f32', {}), ('int16', {}), ('ulaw8', {}),
-                       ('int16_g2', dict(pipeline_groups=2))):
-        base = 'int16' if enc == 'int16_g2' else enc
+                       ('int16_g2', dict(pipeline_groups=2)),
+                       ('ulaw8_framed', {}),
+                       ('ulaw8_framed_g2', dict(pipeline_groups=2))):
+        base = enc[:-3] if enc.endswith('_g2') else enc
         ws, kw = wire(base)
         kw.update(extra)
         if enc != 'f32':   # each dtype/encoding/group-shape is its own

@@ -252,9 +252,44 @@ def _blend_matrix(starts: np.ndarray, n_frames: int,
     return m.astype(np.float32)
 
 
+def frame_streams_for_wire(waveforms, sr: int, method: str = 'log_mel_512',
+                           encoding: str = 'linear') -> list[np.ndarray]:
+    """CLIENT-side prep for the FRAMED wire format.
+
+    At pose rate the strided STFT hop (3072 samples) exceeds the frame
+    length (2048), so a third of every waveform is never read by the
+    frontend.  This helper cuts each stream into exactly the
+    (T, frame_len) sample frames the device consumes
+    (:func:`a2m.audio.frontend.frame_for_wire` — same centered reflect
+    padding and hop grid, bit-identical features), dropping the unread
+    bytes before they ever hit the wire: 1.5x fewer host->device bytes on
+    top of the sample encoding (f32/int16 pass through; ``'ulaw'``
+    mu-law-encodes the frames to uint8).  Feed the result to
+    :func:`stream_from_waveforms` with ``framed_n_samples=<original
+    per-stream sample count>``.
+    """
+    spec = _pose_rate_spec(sr, method)
+    from a2m.audio import frontend
+    out = []
+    for w in waveforms:
+        w = np.asarray(w)
+        if encoding == 'ulaw':
+            # encode-then-frame: mu-law is elementwise, so it commutes with
+            # the reflect padding/gather; 128 is the closest code to a zero
+            # sample (decodes to 8.6e-5) for any zero tail
+            out.append(frontend.frame_for_wire(encode_ulaw(w), spec,
+                                               tail_value=128))
+        elif encoding == 'linear':
+            out.append(frontend.frame_for_wire(w, spec))
+        else:
+            raise ValueError(f'unknown wire encoding {encoding!r}')
+    return out
+
+
 @functools.lru_cache(maxsize=8)
 def _fused_pipeline(generator, sr: int, method: str, n_samples: int,
-                    window: int, hop: int, encoding: str = 'linear'):
+                    window: int, hop: int, encoding: str = 'linear',
+                    framed: bool = False):
     """ONE jitted device program per (S is dynamic via shape, n_samples):
     (S, n_samples) waveforms -> (S, T, 104) poses.
 
@@ -281,7 +316,10 @@ def _fused_pipeline(generator, sr: int, method: str, n_samples: int,
     @jax.jit
     def run(variables, waves):
         waves = _decode_wire(waves, encoding)
-        feats = frontend.log_mel(waves, spec, exact=False)   # (S, T, 128)
+        if framed:   # (S, T, frame_len) pre-framed wire -> (S, T, 128)
+            feats = frontend.log_mel_frames(waves, spec, exact=False)
+        else:
+            feats = frontend.log_mel(waves, spec, exact=False)  # (S, T, 128)
         wins = jnp.take(feats, idx, axis=1)          # (S, W, window, 128)
         s, w_n = wins.shape[0], wins.shape[1]
         pred = generator.apply(
@@ -317,7 +355,9 @@ def stream_from_waveforms(generator, variables, waveforms, sr: int,
                           batch_size: int = 64,
                           fused: str | bool = 'auto',
                           encoding: str = 'linear',
-                          pipeline_groups: int = 1) -> list[np.ndarray]:
+                          pipeline_groups: int = 1,
+                          framed_n_samples: int | None = None
+                          ) -> list[np.ndarray]:
     """S raw audio streams -> S pose streams.
 
     ``fused='auto'`` (default): when every stream has the same sample
@@ -335,16 +375,36 @@ def stream_from_waveforms(generator, variables, waveforms, sr: int,
     i's compute: every upload is issued asynchronously up front, compute
     dispatches follow, and results drain in order.  Useful when the
     host->device link, not the chip, bounds serving (each group compiles
-    its own S/G-shape executable — pick a fixed G per serving config)."""
+    its own S/G-shape executable — pick a fixed G per serving config).
+
+    ``framed_n_samples=N``: the streams are pre-framed (T, frame_len) wire
+    arrays from :func:`frame_streams_for_wire` for original N-sample
+    streams (the fixed serving chunk size) — 1.5x fewer h2d bytes, same
+    features."""
     window = constants.FRAMES_PER_WINDOW
-    lens = {int(np.shape(w)[-1]) for w in waveforms}
+    if framed_n_samples is not None:
+        from a2m.audio import frontend
+        spec = _pose_rate_spec(sr, method)
+        frame_len = frontend.dft_matrices(spec)['frame_len']
+        shapes = {np.shape(w)[-2:] for w in waveforms}
+        if len(shapes) != 1 or next(iter(shapes))[-1] != frame_len:
+            raise ValueError(
+                f'framed wire expects equal (T, {frame_len}) frame stacks '
+                f'(frame_streams_for_wire); got shapes {sorted(shapes)}')
+        run = _fused_pipeline(generator, sr, method, framed_n_samples,
+                              window, hop, encoding, framed=True)
+        n, lens = framed_n_samples, {framed_n_samples}
+        fused = True
+    else:
+        lens = {int(np.shape(w)[-1]) for w in waveforms}
     if fused is True or (fused == 'auto' and len(lens) == 1):
         if len(lens) != 1:
             raise ValueError('fused=True needs equal-length streams; got '
                              f'lengths {sorted(lens)}')
-        n = lens.pop()
-        run = _fused_pipeline(generator, sr, method, n, window, hop,
-                              encoding)
+        if framed_n_samples is None:
+            n = lens.pop()
+            run = _fused_pipeline(generator, sr, method, n, window, hop,
+                                  encoding)
         s = len(waveforms)
         g = max(1, min(pipeline_groups, s))
         if s % g:

@@ -39,6 +39,14 @@ def main(argv=None) -> None:
     dl = loader_from_config(cfg.data, cfg.audio)
     trainer = Trainer(cfg, dl)
     trainer.fit()
+    from a2m.parallel.launch import host_barrier, is_distributed
+    if is_distributed():
+        # align hosts before interpreter exit: the primary spends extra
+        # host time on checkpoint writes, and jax.distributed's exit-time
+        # shutdown barrier (short deadline) times out if other processes
+        # reach it minutes earlier — observed in the 2-process CPU
+        # integration test under CPU contention
+        host_barrier('a2m_train_exit')
 
 
 if __name__ == '__main__':

@@ -416,3 +416,43 @@ def test_kaiser_best_tone_and_lengths():
         assert err < 2e-4, (target, err)
     # identity
     np.testing.assert_array_equal(mel_np.resample_kaiser_best(y, sr, sr), y)
+
+
+# ---------------------------------------------------------------------------
+# Framed serving wire format (client-side framing)
+# ---------------------------------------------------------------------------
+
+
+def test_frame_for_wire_bitwise_parity(clip):
+    """log_mel_frames(frame_for_wire(y)) == log_mel(y) bit-for-bit, for f32
+    and int16 PCM, on the pose-rate strided spec (hop > frame_len, where
+    the framed wire drops the unread third of the samples)."""
+    spec = frontend.strided_spec(frontend.spec_log_mel_512(SR), 6)
+    y32 = clip.astype(np.float32)
+    ref = np.asarray(frontend.log_mel(y32, spec, exact=False))
+    fr = frontend.frame_for_wire(y32, spec)
+    assert fr.shape == (ref.shape[0], 2048)
+    # the wire is strictly smaller than the waveform (the capability)
+    assert fr.nbytes < y32.nbytes
+    out = np.asarray(frontend.log_mel_frames(fr, spec, exact=False))
+    np.testing.assert_array_equal(out, ref)
+
+    y16 = (y32 * 32767).astype(np.int16)
+    ref16 = np.asarray(frontend.log_mel(y16, spec, exact=False))
+    fr16 = frontend.frame_for_wire(y16, spec)
+    assert fr16.dtype == np.int16
+    out16 = np.asarray(frontend.log_mel_frames(fr16, spec, exact=False))
+    np.testing.assert_array_equal(out16, ref16)
+
+
+def test_frame_for_wire_zero_tail_matches_frame_signal(clip):
+    """When an explicit n_frames overruns the padded signal (the
+    fixed-window serving shape), frame_for_wire's constant tail reproduces
+    frame_signal's zero tail exactly."""
+    spec = frontend.strided_spec(frontend.spec_log_mel_512(SR), 6)
+    n = 5 * 3072 + 3000                       # 6 natural frames
+    y = clip[:n].astype(np.float32)
+    ref = np.asarray(frontend.log_mel(y, spec, exact=False, n_frames=8))
+    out = np.asarray(frontend.log_mel_frames(
+        frontend.frame_for_wire(y, spec, n_frames=8), spec, exact=False))
+    np.testing.assert_array_equal(out, ref)

@@ -516,3 +516,62 @@ def test_speaker_stats_median(pats_root):
     med = stats.median('oliver')
     assert med.shape == (104,)
     assert np.isfinite(med).all()
+
+
+def test_framed_wire_stream_parity(rng):
+    """Pre-framed wire streams (frame_streams_for_wire +
+    framed_n_samples) reproduce the waveform fused pipeline: bitwise for
+    f32/int16 PCM, within companding error for framed mu-law; the framed
+    wire carries strictly fewer bytes."""
+    import jax
+    import jax.numpy as jnp
+    from a2m.config import GeneratorConfig
+    from a2m.eval.streaming import (frame_streams_for_wire,
+                                    stream_from_waveforms)
+    from a2m.models import Generator
+
+    g = Generator(GeneratorConfig(in_channels=16, out_channels=16,
+                                  joint_feat_dim=8, gat_heads=2))
+    key = jax.random.PRNGKey(0)
+    v = jax.jit(g.init)({'params': key, 'dropout': key},
+                        jnp.zeros((1, 64, 128), jnp.float32))
+    sr = 45600
+    n = int(sr * 6.0)
+    waves = [(rng.standard_normal(n) * 0.1).astype(np.float32)
+             for _ in range(4)]
+    ref = stream_from_waveforms(g, v, waves, sr)
+
+    framed = frame_streams_for_wire(waves, sr)
+    assert sum(f.nbytes for f in framed) < sum(w.nbytes for w in waves)
+    out = stream_from_waveforms(g, v, framed, sr, framed_n_samples=n)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(o, r)
+
+    # int16 PCM framed == int16 waveform wire, bitwise
+    w16 = [(w * 32767).astype(np.int16) for w in waves]
+    ref16 = stream_from_waveforms(g, v, w16, sr)
+    f16 = frame_streams_for_wire(w16, sr)
+    assert all(f.dtype == np.int16 for f in f16)
+    out16 = stream_from_waveforms(g, v, f16, sr, framed_n_samples=n)
+    for r, o in zip(ref16, out16):
+        np.testing.assert_array_equal(o, r)
+
+    # framed mu-law (encode-then-frame) == waveform mu-law wire; grouped
+    # upload changes nothing numerically
+    from a2m.eval.streaming import encode_ulaw
+    wire_u = [encode_ulaw(w) for w in waves]
+    ref_u = stream_from_waveforms(g, v, wire_u, sr, encoding='ulaw')
+    fu = frame_streams_for_wire(waves, sr, encoding='ulaw')
+    assert all(f.dtype == np.uint8 for f in fu)
+    out_u = stream_from_waveforms(g, v, fu, sr, encoding='ulaw',
+                                  framed_n_samples=n)
+    for r, o in zip(ref_u, out_u):
+        np.testing.assert_array_equal(o, r)
+    out_u2 = stream_from_waveforms(g, v, fu, sr, encoding='ulaw',
+                                   framed_n_samples=n, pipeline_groups=2)
+    for r, o in zip(out_u, out_u2):
+        np.testing.assert_allclose(o, r, atol=1e-5)
+
+    # malformed framed input -> clear error
+    with pytest.raises(ValueError, match='framed wire'):
+        stream_from_waveforms(g, v, waves, sr, framed_n_samples=n)
