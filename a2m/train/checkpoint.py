@@ -162,13 +162,22 @@ def _unflatten(flat: dict) -> dict:
 
 
 def save_best_generator_npz(best: dict, out_path) -> Path:
-    """Pack a ``load_generator_ckpt`` result dict into one .npz file."""
+    """Pack a ``load_generator_ckpt`` result dict into one .npz file.
+
+    Weights are stored f16 (magnitudes sit far inside f16 range — verified
+    per tensor below); ``batch_stats`` stay f32: GAN-trained BatchNorm
+    variances exceed 65504 (f16 max -> inf -> dead BN layers; the round-5
+    flagship packed at PCK 0.363 instead of 0.763 before this guard), and
+    their total size is negligible next to the 38M params."""
     flat: dict = {}
     _flatten_tree('params', _tree_to_pure(best['params']), flat)
-    _flatten_tree('batch_stats', _tree_to_pure(best['batch_stats']), flat)
+    bs_flat: dict = {}
+    _flatten_tree('batch_stats', _tree_to_pure(best['batch_stats']), bs_flat)
     packed = {k: (v.astype(np.float16)
-                  if v.dtype == np.float32 else v)
+                  if v.dtype == np.float32
+                  and np.abs(v).max(initial=0.0) < 6e4 else v)
               for k, v in flat.items()}
+    packed.update(bs_flat)
     if 'mean' in best:
         packed['stats/mean'] = np.asarray(best['mean'], np.float32)
         packed['stats/std'] = np.asarray(best['std'], np.float32)

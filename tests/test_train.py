@@ -656,3 +656,38 @@ def test_trainer_mesh_batch_divisibility(tmp_path):
                     fs_new=[15, 15], batch_size=6, window_hop=30)
     with pytest.raises(ValueError, match='not divisible'):
         Trainer(cfg, dl, log_fn=lambda s: None)
+
+
+def test_best_gen_npz_roundtrip_preserves_large_bn_var(tmp_path):
+    """Packed .npz best-G: params quantize to f16, but batch_stats stay
+    f32 — GAN-trained BN variances exceed f16 max (65504) and an f16
+    pack turned them inf, silently breaking the restored model (round-5
+    flagship packed at PCK 0.363 instead of 0.763).  Out-of-range params
+    must also survive."""
+    import numpy as np
+    from a2m.train.checkpoint import (load_best_generator_npz,
+                                      save_best_generator_npz)
+    best = dict(
+        params={'enc': {'kernel': np.linspace(-1, 1, 12, dtype=np.float32)
+                        .reshape(3, 4),
+                        'huge': np.array([1e5, -2e5], np.float32)}},
+        batch_stats={'bn': {'var': np.array([1.5e5, 1e-6, 3.0], np.float32),
+                            'mean': np.array([0.5, -2.0, 7e4], np.float32)}},
+        mean=np.zeros(104, np.float32), std=np.ones(104, np.float32))
+    path = tmp_path / 'g.npz'
+    save_best_generator_npz(best, path)
+    out = load_best_generator_npz(path)
+    # batch_stats: exact f32 round-trip, no inf/overflow
+    np.testing.assert_array_equal(out['batch_stats']['bn']['var'],
+                                  best['batch_stats']['bn']['var'])
+    np.testing.assert_array_equal(out['batch_stats']['bn']['mean'],
+                                  best['batch_stats']['bn']['mean'])
+    # in-range params: f16-grade closeness; out-of-range: exact (kept f32)
+    np.testing.assert_allclose(out['params']['enc']['kernel'],
+                               best['params']['enc']['kernel'], rtol=1e-3)
+    np.testing.assert_array_equal(out['params']['enc']['huge'],
+                                  best['params']['enc']['huge'])
+    assert all(np.isfinite(v).all() for v in
+               (out['params']['enc']['huge'],
+                out['batch_stats']['bn']['var']))
+    np.testing.assert_array_equal(out['mean'], best['mean'])
